@@ -1,0 +1,56 @@
+"""Test-table catalog: the driver's parquet star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events documents
+embeddings — one parquet per table under an ``sf_dir``. Parquet scans get
+predicate pushdown / column pruning / vectorized reads from Catalyst for free
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omnidata_etl_spark.session import ensure_tuned
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table; also ensures engine conf on the session.
+
+    events.ts is nanosecond parquet — illegal as a Spark timestamp — so it is
+    read as a nanos long (`nanosAsLong`) and truncated to a µs timestamp here
+    (integer `div`, never float division: ns epochs exceed 2^53).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_tuned(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view (for SQL-form queries)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

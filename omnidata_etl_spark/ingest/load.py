@@ -1,0 +1,141 @@
+"""The `load` verb: projection → typed cast → surrogate key → atomic sink.
+
+Mirrors the reference's save flow (SURVEY.md §3.2): column selection
+(backend/index.js:167,:223), type mapping (:167-171), smart-id injection
+(:174-182), exists-check → error (:153-160), transactional batched insert
+(:186-236,:249-273).
+
+Atomicity: Spark has no cross-partition transaction (SURVEY.md §7.3 #3), so
+the sink stages the whole write into a hidden directory and atomically
+renames it into place — all-or-nothing like the reference's single
+BEGIN/COMMIT, with the semantic difference documented here: concurrent
+readers see old-or-new, never partial; concurrent *writers* are not
+serialized by the engine.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.ingest.types import map_user_type
+
+
+class TableExistsError(RuntimeError):
+    """Target exists and mode='error' (reference HTTP 409, R13)."""
+
+
+def sanitize_identifier(name: str) -> str:
+    """Strip [^a-zA-Z0-9_] and lowercase (backend/index.js:146)."""
+    return re.sub(r"[^a-zA-Z0-9_]", "", name or "").lower()
+
+
+def normalize_empty_to_null(df: DataFrame) -> DataFrame:
+    """Empty string → NULL on typed load (R10: the save path's behavior)."""
+    from pyspark.sql import types as T
+
+    return df.select(
+        *[
+            F.when(F.col(c) == "", None).otherwise(F.col(c)).alias(c)
+            if isinstance(field.dataType, T.StringType)
+            else F.col(c)
+            for c, field in zip(df.columns, df.schema.fields)
+        ]
+    )
+
+
+def has_id_column(df: DataFrame) -> bool:
+    return any(c.lower() == "id" for c in df.columns)
+
+
+def add_surrogate_key(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
+    """Inject a dense 1..N `id` iff no case-insensitive `id` exists (R12).
+
+    Deterministic row_number over an explicit ordering — at scale prefer a
+    keyed ordering over ingest order; defaults to all columns, which is
+    stable for deduplicated loads.
+    """
+    if has_id_column(df):
+        return df
+    order_cols = order_by or df.columns
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn("id", F.row_number().over(w))
+
+
+def apply_types(df: DataFrame, types: dict[str, str] | None) -> DataFrame:
+    """ANSI (strict) casts from user-declared SQL type strings (R7)."""
+    if not types:
+        return df
+    cols = []
+    for c in df.columns:
+        if c in types:
+            cols.append(F.col(c).cast(map_user_type(types[c])).alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def load(
+    df: DataFrame,
+    table_name: str,
+    *,
+    warehouse: str,
+    columns: list[str] | None = None,
+    types: dict[str, str] | None = None,
+    mode: str = "error",
+    surrogate_key: bool = True,
+    order_by: list[str] | None = None,
+) -> str:
+    """Project → normalize → cast → key → atomically sink as parquet.
+
+    Returns the final table path. mode: 'error' (reference default, R13) or
+    'overwrite'. The staged write + rename gives reference-style
+    all-or-nothing loads (R15).
+    """
+    name = sanitize_identifier(table_name)
+    if not name:
+        raise ValueError("table name sanitized to empty string")
+    target = os.path.join(warehouse, name)
+    if os.path.exists(target) and mode == "error":
+        raise TableExistsError(f"table {name!r} already exists")
+
+    out = df.select(*columns) if columns else df
+    out = normalize_empty_to_null(out)
+    out = apply_types(out, types)
+    if surrogate_key:
+        out = add_surrogate_key(out, order_by)
+
+    staging = os.path.join(warehouse, f".{name}.staging-{uuid.uuid4().hex}")
+    out.write.mode("overwrite").parquet(staging)  # executes the whole plan
+    if os.path.exists(target):
+        if mode == "error":  # re-check: lost race
+            shutil.rmtree(staging, ignore_errors=True)
+            raise TableExistsError(f"table {name!r} already exists")
+        old = target + f".old-{uuid.uuid4().hex}"
+        os.rename(target, old)
+        os.rename(staging, target)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(staging, target)
+    return target
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, *, mode: str = "error", batchsize: int = 1000
+) -> None:
+    """JDBC sink with the reference's batch size (1000-row INSERT batches,
+    backend/index.js:188,:226). Per-partition transactions only — true
+    cross-partition atomicity needs the staging pattern of :func:`load`."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+        .save()
+    )

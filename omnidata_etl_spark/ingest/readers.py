@@ -1,0 +1,173 @@
+"""Format-dispatching readers with reference-parity parsing behavior.
+
+Reference behavior re-expressed declaratively (SURVEY.md §2A R1-R3, R8, R10):
+  * Delimiter sniffing from the first text line, precedence tab > pipe >
+    comma (/root/reference backend/index.js:107-109).
+  * Markdown pipe tables: `---` separator rows skipped, leading/trailing
+    pipes stripped, cells trimmed (backend/index.js:111,:114,:219,:221).
+  * Header = first line (backend/index.js:111); all columns load as text
+    (types are user-directed later — backend/index.js:36).
+  * Empty cells → NULL (the save path's semantics, backend/index.js:223).
+  * JSON files parse as JSON (fixing the reference's accept/parse gap,
+    frontend/src/App.jsx:172 vs backend/index.js:97); nested objects are
+    stringified at the boundary like the reference's insert path
+    (backend/index.js:258).
+
+Everything is a declarative `spark.read` so limit/column pruning push into
+the scan (preview never parses the whole file — Catalyst's CollectLimit is
+the reference's stop-after-11-lines, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omnidata_etl_spark.session import ensure_tuned
+
+
+def sniff_delimiter(first_line: str) -> str:
+    """Reference sniff order: tab > pipe > comma (backend/index.js:107-109)."""
+    if "\t" in first_line:
+        return "\t"
+    if "|" in first_line:
+        return "|"
+    return ","
+
+
+def _first_line(path: str) -> str:
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                return line.rstrip("\n")
+    return ""
+
+
+def _empty_to_null(df: DataFrame) -> DataFrame:
+    """Empty-string → NULL normalization (R10)."""
+    return df.select(
+        *[
+            F.when(F.col(c) == "", None).otherwise(F.col(c)).alias(c)
+            if isinstance(f.dataType, T.StringType)
+            else F.col(c)
+            for c, f in zip(df.columns, df.schema.fields)
+        ]
+    )
+
+
+def read_delimited(
+    spark: SparkSession, path: str, sep: str | None = None
+) -> DataFrame:
+    """CSV/TSV/pipe text scan (R1): header from line 1, sniffed delimiter,
+    all-text columns, trimmed cells, empty → NULL."""
+    ensure_tuned(spark)
+    sep = sep or sniff_delimiter(_first_line(path))
+    df = (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("inferSchema", False)  # text-by-default (R7: user types later)
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+        .option("mode", "PERMISSIVE")  # short rows → nulls, like the save path
+        .csv(path)
+    )
+    return _empty_to_null(df)
+
+
+def read_markdown(spark: SparkSession, path: str) -> DataFrame:
+    """Markdown pipe-table scan (R2): the reference's cleaning — skip `---`
+    rows, strip edge pipes, trim cells — as filter/regexp expressions over a
+    line scan (only the header line is read driver-side)."""
+    ensure_tuned(spark)
+    header_line = _first_line(path)
+    headers = [
+        h.strip() for h in header_line.strip().strip("|").split("|")
+    ]
+    lines = spark.read.text(path)
+    body = lines.filter(F.trim(F.col("value")) != "").filter(
+        ~F.col("value").rlike(r"^\s*\|?[\s\-:|]+\|?\s*$")  # `---` separator
+    ).filter(F.trim(F.col("value")) != header_line.strip())
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col("value"), r"^\s*\|", ""), r"\|\s*$", ""
+    )
+    parts = F.split(stripped, r"\|")
+    cols = [
+        F.trim(F.element_at(parts, i + 1)).alias(h)
+        for i, h in enumerate(headers)
+    ]
+    return _empty_to_null(body.select(*cols))
+
+
+def read_json(spark: SparkSession, path: str) -> DataFrame:
+    """Line-delimited JSON scan; nested objects stringified (R11 parity)."""
+    ensure_tuned(spark)
+    df = spark.read.json(path)
+    out = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (T.StructType, T.MapType)):
+            out.append(F.to_json(F.col(field.name)).alias(field.name))
+        else:
+            out.append(F.col(field.name))
+    return df.select(*out)
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """Excel scan (R3): first sheet, blank cells → NULL. Gated on pandas
+    having an xlsx engine in the environment (import-try)."""
+    ensure_tuned(spark)
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=0, dtype=str)
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "no xlsx engine (openpyxl) in this environment"
+        ) from exc
+    pdf = pdf.where(pdf.notna(), None)
+    return spark.createDataFrame(pdf)
+
+
+_EXT_READERS = {
+    ".csv": read_delimited,
+    ".tsv": read_delimited,
+    ".txt": read_delimited,
+    ".md": read_markdown,
+    ".markdown": read_markdown,
+    ".json": read_json,
+    ".jsonl": read_json,
+    ".ndjson": read_json,
+    ".xlsx": read_excel,
+    ".xls": read_excel,
+}
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Extension-dispatch scan — the engine's `upload` verb (reference
+    dispatch at backend/index.js:88-97; Access/OLE DB generalized to
+    "any JDBC source" per SURVEY.md §7.2, see `read_jdbc`)."""
+    if fmt:
+        ext = "." + fmt.lstrip(".")
+    else:
+        ext = os.path.splitext(path)[1].lower()
+    if ext == ".parquet":
+        ensure_tuned(spark)
+        return spark.read.parquet(path)
+    reader = _EXT_READERS.get(ext, read_delimited)
+    return reader(spark, path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, **options: str
+) -> DataFrame:
+    """JDBC source (generalizes the reference's Access/OLE DB read, R4 —
+    /root/reference backend/index.js:62-80). Limit/predicate pushdown is
+    handled by Spark's JDBC source (`pushDownLimit`), mirroring the
+    reference's `SELECT TOP n` (backend/index.js:72)."""
+    ensure_tuned(spark)
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

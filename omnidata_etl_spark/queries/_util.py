@@ -1,0 +1,54 @@
+"""Determinism helpers shared by the declared queries.
+
+Float hash-parity with DuckDB is the #1 risk (SURVEY.md §7.3). Rules applied
+throughout:
+
+  * Money aggregates: cast each row's expression to DECIMAL(18,2) *before*
+    SUM. Decimal addition is exact, so the result is independent of Spark's
+    (and DuckDB's) partition/summation order; a double SUM would not be.
+    The final value is cast to DOUBLE on both sides (a decimal with scale 2
+    converts to the same double bit pattern everywhere).
+  * Averages: exact decimal SUM cast to double, divided by COUNT in double —
+    identical double division on identical inputs on both engines. Never
+    AVG(decimal) (Spark yields decimal(.,6), DuckDB yields double: different
+    rounding points).
+  * Raw column values (no arithmetic) pass through untouched — bit-identical
+    in parquet on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec2(col: str | Column) -> Column:
+    """Exact decimal view of a 2dp-generated money column.
+
+    Only ever applied to RAW columns whose generated values are exact 2dp
+    decimals (l_extendedprice, l_discount, o_totalprice, events.value, ...):
+    for those the nearest-double is within 1e-13 of the true decimal, so both
+    engines land on the same DECIMAL regardless of their double→decimal
+    rounding mode. Never cast a *computed* double to decimal — the two
+    engines disagree on half-cent boundaries (observed on sum_disc_price).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(expr: Column) -> Column:
+    """Order-independent money sum: SUM(CAST(expr AS DECIMAL(18,2)))::DOUBLE.
+
+    Safe only when `expr` is a raw 2dp column (see dec2). For derived money
+    expressions, build the expression from dec2() inputs so the arithmetic
+    itself is decimal, then F.sum(...).cast('double') directly.
+    """
+    return F.sum(expr.cast(DEC)).cast("double")
+
+
+def davg(expr: Column, count: Column | None = None) -> Column:
+    """Deterministic 2dp average of a money expression (see module doc)."""
+    n = count if count is not None else F.count(expr)
+    return F.round(F.sum(expr.cast(DEC)).cast("double") / n, 2)

@@ -1,0 +1,167 @@
+"""Aggregation queries (SURVEY.md §2B "Aggregations"). EXT provenance — the
+reference has no aggregations (SURVEY.md §2A).
+
+Scale notes: groupBy on low-cardinality keys gets map-side partial
+aggregation automatically (HashAggregate partial → shuffle tiny partials →
+final). COUNT(DISTINCT) expands to a two-phase distinct-then-count plan;
+for sketch-tolerant consumers `agg_approx_distinct` is the 100 TB path
+(one pass, HLL, no shuffle of distinct values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import register_views, table
+from omnidata_etl_spark.queries._util import dec2, dsum
+from omnidata_etl_spark.registry import query
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary; decimal sums for order-independence."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+        SELECT COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 20
+    """,
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") > 20)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — SQL form (same Catalyst Expand plan as cube)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query("agg_approx_distinct", tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — the one-pass 100 TB alternative to exact
+    COUNT(DISTINCT). Rows-only: HLL sketches are engine-specific
+    (SURVEY.md §7.3 #5), never hash-comparable with DuckDB."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.count("*").alias("n_orders"),
+    )

@@ -1,0 +1,211 @@
+"""Deduplication operators over `documents` (north-star LLM-pipeline ops).
+
+Three tiers, in ascending fuzziness:
+  * exact        — groupBy full text (one shuffle on the text bytes);
+  * hash         — groupBy sha256 digest (one shuffle on 32 bytes — the 100 TB
+                   variant of exact dedup: never shuffle document bodies);
+  * near (MinHash-LSH / SimHash) — shingle→minhash→band→bucket-join: candidate
+    pairs come from equi-joins on band hashes, so the cost is driven by bucket
+    collisions, never by the O(n²) pair space.
+
+MinHash/SimHash families are engine-specific bit twiddling → rows-only checks
+(SURVEY.md §7.3 #5). The exact-jaccard *verification* of candidates is real
+set arithmetic and is unit-tested against planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.registry import query
+
+# MinHash-LSH geometry: 32 hashes = 8 bands × 4 rows ⇒ candidate threshold
+# s where collision prob 1-(1-s^4)^8 ≈ 0.5 at s ≈ 0.56.
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.6
+
+
+def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+        SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping min doc_id per identical text."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+
+@query(
+    "dedup_hash",
+    oracle="""
+        SELECT sha256(text) AS text_sha, MIN(doc_id) AS doc_id
+        FROM documents GROUP BY text_sha
+    """,
+    tags=("dedup",),
+)
+def dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-based exact dedup — shuffles 32-byte digests instead of
+    document bodies; the scale path for exact dedup. sha2 hex is lowercase
+    on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+    ).groupBy("text_sha").agg(F.min("doc_id").alias("doc_id"))
+
+
+def minhash_signatures(token_sets: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """doc_id + minhash signature columns h0..h{n-1}.
+
+    Hash family: xxhash64(seed_i, token) — Spark's built-in 64-bit hash with
+    the seed as a leading literal column. All JVM-side; the groupBy(doc_id)
+    MIN aggregation is map-side-combinable.
+    """
+    tok = token_sets.select(
+        "doc_id", F.explode("tokens").alias("token")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_hash)."""
+    bands = []
+    for b in range(BANDS):
+        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("band_hash"),
+            )
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, token_sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via token-set joins (no UDFs)."""
+    tok = token_sets.select(
+        "doc_id",
+        F.explode("tokens").alias("token"),
+        F.size("tokens").alias("n_tok"),
+    )
+    a = tok.alias("ta")
+    b = tok.alias("tb")
+    inter = (
+        pairs.join(a, pairs.doc_a == F.col("ta.doc_id"))
+        .join(
+            b,
+            (pairs.doc_b == F.col("tb.doc_id"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("ta.n_tok").alias("n_a"),
+            F.first("tb.n_tok").alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return inter.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@query("dedup_near_minhash", tags=("dedup", "lsh"))
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates, verified by exact
+    Jaccard ≥ 0.6. Rows-only (hash family not portable to DuckDB)."""
+    token_sets = _token_sets(spark, sf_dir)
+    sigs = minhash_signatures(token_sets)
+    cands = lsh_candidate_pairs(sigs)
+    return exact_jaccard(cands, token_sets).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+@query("dedup_simhash", tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (rows-only).
+
+    Each token votes its xxhash64 bits ±1; the fingerprint takes the sign of
+    each bit-sum. Expressed entirely with array expressions over the 64 bit
+    positions — no UDFs, one groupBy(doc_id) shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    h = F.xxhash64("token")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select("doc_id", fp.alias("simhash64"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    tags=("dedup", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram (token trigram) Jaccard ≥ 0.6, with
+    MinHash-LSH candidate generation over shingles. Rows-only."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    shingles = F.when(
+        F.size(tokens) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - 2),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)),
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+    token_sets = docs.select("doc_id", shingles.alias("tokens"))
+    sigs = minhash_signatures(token_sets)
+    cands = lsh_candidate_pairs(sigs)
+    return exact_jaccard(cands, token_sets).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )

@@ -1,0 +1,114 @@
+"""Event-stream-shaped queries in batch form (SURVEY.md §2B "Events").
+
+These define the *semantics* (hash-checkable against DuckDB); the true
+Structured Streaming variant lives in queries/streaming.py and is asserted
+against these (SURVEY.md §5 item 5).
+
+Timestamp discipline: events.ts is nanosecond parquet (µs in Spark, ns in
+DuckDB) — raw ts never appears in an output column; it is always bucketed
+(date_trunc) or consumed as epoch seconds (SURVEY.md §7.3 #7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.registry import query
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("events",),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling counts, batch form (`window(ts,'1 hour')` in the
+    streaming twin — same buckets as date_trunc for aligned hours)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "stream_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("events", "session"),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gap > 30 min ⇒ new session): lag + running
+    sum of session-start flags — the classic batch formulation; the streaming
+    equivalent is session_window(ts, '30 minutes').
+
+    Scale note: one shuffle on user_id; sessions never cross users so the
+    window state is bounded per partition.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "stream_dedup_latest",
+    oracle="""
+        SELECT event_id, user_id, event_type, value FROM (
+            SELECT event_id, user_id, event_type, value,
+                   row_number() OVER (PARTITION BY event_id
+                                      ORDER BY ts DESC, user_id DESC,
+                                               event_type DESC, value DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("events", "dedup"),
+)
+def stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest row per event_id (north-star dedup shape). The ORDER BY
+    lists every output column after ts so exact-tie rows resolve identically
+    on both engines. Streaming twin: dropDuplicates within a watermark."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("ts").desc(),
+        F.col("user_id").desc(),
+        F.col("event_type").desc(),
+        F.col("value").desc(),
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )

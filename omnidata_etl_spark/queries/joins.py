@@ -1,0 +1,196 @@
+"""Join queries (SURVEY.md §2B "Joins"). All EXT provenance — the reference
+has no joins of any kind (SURVEY.md §2A, "Explicitly absent").
+
+Scale notes (100 TB design point):
+  * Dimension joins (nation, region) are explicitly broadcast — no shuffle of
+    the fact side on a 5/25-row dim.
+  * Fact-fact joins (lineitem ⋈ orders) are left to Catalyst: at scale AQE
+    picks sort-merge with skew splitting; the equi-keys shuffle-partition both
+    sides on the join key exactly once.
+  * The star query joins facts first (orderkey → custkey), then broadcasts
+    the dim chain, so lineitem is shuffled at most twice and the dims never
+    shuffle anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_name,
+               COALESCE(s.s_nationkey, c.c_nationkey) AS nationkey
+        FROM supplier s FULL JOIN customer c ON s.s_nationkey = c.c_nationkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return s.join(c, s.s_nationkey == c.c_nationkey, "full").select(
+        "s_suppkey",
+        "s_name",
+        "c_custkey",
+        "c_name",
+        F.coalesce(s.s_nationkey, c.c_nationkey).alias("nationkey"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 order. left_semi never duplicates the left side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, r.r_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("join",),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny-dimension join with an explicit broadcast hint: zero shuffle."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+        SELECT r_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: revenue per region over the 5-way star (SURVEY.md §7.1 M1).
+
+    Fact-fact joins shuffle once per key; nation/region broadcast. Revenue is
+    summed as DECIMAL(18,2) per row so the result is summation-order-proof.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+        SELECT o_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM orders JOIN lineitem
+          ON o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+    """,
+    tags=("join",),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + non-equi conjunct: the equi part still drives the shuffle
+    partitioning; the range predicate is evaluated post-match (no cartesian)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "inner",
+    ).select("o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "join_cross_limited",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    tags=("join",),
+)
+def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded cartesian: both inputs are bounded dims (5 × 25)."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)

@@ -1,0 +1,146 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine's multimodal model (north-star): an asset is a row with a
+``binary`` payload column plus typed metadata columns; decode / feature
+extraction / resize / frame-sampling run as Arrow-batched Pandas functions
+over ``mapInPandas`` so the payload bytes never round-trip through Python
+row-at-a-time serde. The actual codecs are not in this container, so decode
+is STUBBED (deterministic fake features / NotImplementedError for real
+codecs) — the Spark-side plumbing (schema, batching, partitioning) is real
+and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.registry import query
+
+# Asset schema: the typed-metadata envelope around the opaque payload.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic asset table from `documents` (text bytes as the
+    opaque payload) — the fixture for multimodal plumbing tests."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode requires PIL/opencv — not in this container."""
+    raise NotImplementedError(
+        "image decode stub: install pillow/opencv and replace fake_features"
+    )
+
+
+def fake_features(payload: bytes, dim: int = 4) -> list[float]:
+    """Deterministic stand-in for a decoded-feature vector: byte statistics.
+
+    Replaced by a real embed/decode step when codec libs exist; keeps the
+    Arrow batch shape and schema identical to the real path.
+    """
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    n = len(payload)
+    return [
+        float(n),
+        sum(payload) / n,
+        float(payload[0]),
+        float(payload[-1]),
+    ][:dim]
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, per-partition, no
+    driver involvement — the hot-path shape for real decoders."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "feature": pdf["payload"].map(fake_features),
+                }
+            )
+
+    return assets.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+        SELECT source, COUNT(*) AS n_assets,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               MAX(octet_length(encode(text))) AS max_bytes
+        FROM documents GROUP BY source
+    """,
+    tags=("multimodal",),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload accounting per source — byte-length arithmetic on a
+    binary column (documents.text encoded as the payload stand-in)."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.octet_length(payload)).alias("total_bytes"),
+        F.max(F.octet_length(payload)).alias("max_bytes"),
+    )
+
+
+@query("multimodal_feature_extract", tags=("multimodal", "pandas-udf"))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal pipeline on the stand-in corpus: build assets →
+    Arrow-batched feature extraction → per-media-type stats. Rows-only
+    (Pandas-UDF path; feature fn is the deterministic stub)."""
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features(assets_from_documents(docs))
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(
+            F.sum(F.element_at("feature", 2).cast("decimal(18,9)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            4,
+        ).alias("avg_mean_byte"),
+    )

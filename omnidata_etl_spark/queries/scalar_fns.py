@@ -1,0 +1,181 @@
+"""Scalar-function queries (SURVEY.md §2B "Scalar functions").
+
+Provenance: string cleaning generalizes the reference's cell cleaner (R8,
+/root/reference backend/index.js:111,:115); empty-string→null conditional is
+R10 (:117 vs :223); JSON extraction is the JSONB type + stringify-at-insert
+path (R11, backend/index.js:56,:258). Date/math/array are EXT.
+
+All expressions are built-in `pyspark.sql.functions` — JVM-side, inside
+whole-stage codegen; no Python UDFs (SURVEY.md §2B UDF note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_upper,
+               SUBSTRING(p_type, 1, 5) AS type_prefix,
+               REPLACE(p_name, ' ', '_') AS name_snake,
+               LENGTH(p_name) AS name_len,
+               CONCAT_WS('::', p_brand, p_type) AS brand_type
+        FROM part
+    """,
+    tags=("scalar",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               YEAR(o_orderdate) AS order_year,
+               MONTH(o_orderdate) AS order_month,
+               DATE_TRUNC('month', o_orderdate) AS order_month_start,
+               DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                   AS days_to_ref
+        FROM orders
+    """,
+    tags=("scalar",),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date parts + truncation + day difference to a fixed reference date.
+
+    Arg-order note: DuckDB datediff('day', start, end) == Spark
+    datediff(end, start) — both end minus start.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(
+            F.to_date(F.lit("1998-01-01")), F.col("o_orderdate").cast("date")
+        ).alias("days_to_ref"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charge,
+               ABS(l_discount - 0.05) AS disc_dev,
+               l_orderkey % 7 AS key_mod,
+               l_orderkey // 3 AS key_div
+        FROM lineitem
+    """,
+    tags=("scalar",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic. The charge expression runs in exact DECIMAL (the raw
+    columns are 2dp-exact) and converts to double once — per-row ROUND of a
+    computed double is not portable across engines (see _util docs)."""
+    from omnidata_etl_spark.queries._util import dec2
+
+    li = table(spark, sf_dir, "lineitem")
+    charge = (
+        dec2("l_extendedprice")
+        * (1 - dec2("l_discount"))
+        * (1 + dec2("l_tax"))
+    ).cast("double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge.alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.expr("l_orderkey div 3").alias("key_div"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 50000  THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'high' END AS price_band,
+               COALESCE(NULLIF(o_orderstatus, ''), 'UNKNOWN') AS status_norm
+        FROM orders
+    """,
+    tags=("scalar",),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE bands + the reference's empty-string→null normalization (R10)."""
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    status = F.coalesce(
+        F.nullif(F.col("o_orderstatus"), F.lit("")), F.lit("UNKNOWN")
+    )
+    return o.select(
+        "o_orderkey", band.alias("price_band"), status.alias("status_norm")
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        FROM events WHERE props IS NOT NULL
+    """,
+    tags=("scalar", "json"),
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column accessor — the engine's JSONB story (R11): JSON
+    rides as a string column (reference stringifies objects at insert,
+    /root/reference backend/index.js:258) and is unpacked by expression."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_val
+        FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column accessors (element_at is 1-indexed in both engines)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+    )

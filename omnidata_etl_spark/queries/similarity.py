@@ -1,0 +1,209 @@
+"""Similarity search over `embeddings` (north-star: ANN over array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the query vector(s), compute
+dot/norms with array expressions (zip_with + aggregate: sequential fold, so
+both engines sum in array order), TakeOrderedAndProject for the top-k. That
+plan scans the corpus once with no shuffle except the k-row merge: at 100 TB
+it is bandwidth-bound, which is exactly what brute-force ANN should be.
+
+Scale path: random-hyperplane LSH bucketing (dedup-style banding for vectors)
+— signature bits from deterministic pseudo-random planes, candidates from an
+equi-join on bucket id, exact re-rank within buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.registry import query
+
+EMBED_DIM = 64
+LSH_PLANES = 8  # 2^8 = 256 buckets
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4)
+                   AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most similar vectors to vec_id=0 (self excluded, tiebreak
+    vec_id). Both engines do double arithmetic in array order; result rounded
+    to 4dp."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = cosine(F.col("embedding"), F.col("q_embedding"))
+    return (
+        joined.select("vec_id", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "ann_multi_query_topk",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id IN (0, 1, 2)
+        )
+        SELECT query_id, vec_id, cosine FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                q.qe), 4) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), q.qe), 4) DESC,
+                                e.vec_id ASC) AS rn
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rn <= 5
+    """,
+    tags=("similarity",),
+)
+def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force ANN: top-5 neighbors for each of 3 query vectors.
+    Queries broadcast; per-query ranking via window (one shuffle on query_id,
+    which AQE collapses at this cardinality)."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def hyperplane(plane_id: int, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane component list.
+
+    Components derive from a splitmix64-style integer mix of (plane_id, d) —
+    reproducible across sessions with no RNG state (scripts can't call
+    random()); only the *sign structure* matters for LSH.
+    """
+    comps = []
+    for d in range(dim):
+        x = (plane_id * 1_000_003 + d * 40_009 + 12_345) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        comps.append((x % 2_000_001 - 1_000_000) / 1_000_000.0)
+    return comps
+
+
+def lsh_bucket(embedding: Column) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane."""
+    bucket = F.lit(0)
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(c) for c in hyperplane(p)])
+        bit = F.when(dot(embedding, plane) >= 0, 1).otherwise(0)
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+@query("ann_lsh_topk", tags=("similarity", "lsh"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: rank only vectors sharing
+    the query's bucket (falls back to exact ranking within the bucket).
+    Rows-only: bucket membership is hash-family-specific.
+
+    At scale the bucketed corpus would be written
+    ``partitionBy(bucket)`` so a query touches one partition — an IVF-style
+    index expressed as Spark partitioning.
+    """
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("q_bucket")
+    )
+    cand = emb.crossJoin(F.broadcast(q)).filter(
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != 0)
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+    return (
+        cand.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query("dedup_embedding_cosine", tags=("similarity", "dedup"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.95 among vectors sharing an
+    LSH bucket (blocked all-pairs — the O(n²/buckets) scale path). Rows-only."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    cos = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4)
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.95
+    )

@@ -1,0 +1,72 @@
+"""Structured Streaming demo (SURVEY.md §2B `stream_structured_demo`).
+
+A true streaming query over the events parquet: file source → 2-hour
+watermark → 1-hour tumbling window counts → memory sink. Output mode is
+`complete` here so the result equals the batch `stream_tumbling_counts`
+exactly (append mode would withhold windows not yet past the watermark —
+that drop behavior is demonstrated separately in tests/test_streaming.py).
+Rows-only check: streaming is not DuckDB-checkable; the equality-with-batch
+assertion lives in the test suite (SURVEY.md §5 item 5).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omnidata_etl_spark.registry import query
+
+
+def tumbling_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    output_mode: str = "complete",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the streaming tumbling-count to completion on the static events
+    parquet and return the materialized result.
+
+    The file source requires a directory, and the stream must use the RAW
+    parquet schema (ts is a nanos long under `nanosAsLong`) — the ns→µs
+    conversion happens on the stream, mirroring catalog.table.
+    """
+    src_file = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src_file).schema
+    stream_dir = tempfile.mkdtemp(prefix="omnidata_stream_src_")
+    os.symlink(src_file, os.path.join(stream_dir, "events.parquet"))
+    src = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    qname = f"omnidata_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+@query("stream_structured_demo", tags=("streaming",))
+def stream_structured_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_stream(spark, sf_dir)

@@ -1,0 +1,164 @@
+"""Text-analysis queries over `documents` (north-star LLM-pipeline ops).
+
+All pure built-in expressions (explode/split/filter/transform) — tokenization
+stays JVM-side and scales linearly with one shuffle for the global word count;
+per-document ops (token counts, quality score) are shuffle-free map work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.registry import query
+
+# Tiny embedded stopword list for quality scoring / language heuristics.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_word_counts",
+    oracle="""
+        SELECT word, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ) GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 20
+    """,
+    tags=("text",),
+)
+def text_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words (tiebreak by word). explode→groupBy gets map-side partial
+    aggregation, so the shuffle carries one row per distinct word per task —
+    not one per token — the property that keeps this viable at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_doc_stats",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               MAX(LENGTH(text)) AS max_len
+        FROM documents GROUP BY lang
+    """,
+    tags=("text",),
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc stats. The average is exact-int SUM divided in double
+    (identical on both engines); no ROUND — see text_quality_score note."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document (training-data budgeting primitive)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+        SELECT doc_id, n_tokens, stop_ratio,
+               0.5 * stop_ratio
+                   + 0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) AS quality
+        FROM (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t IN ({_STOPWORDS_SQL})))
+                        AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        )
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword ratio + length saturation — the
+    standard cheap pre-filter in LLM data pipelines. Pure array expressions.
+
+    No per-row ROUND anywhere: ROUND(double, n) is not portable at
+    representation boundaries (Spark rounds the shortest decimal repr,
+    DuckDB the exact binary value) — identical unrounded doubles are.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    stop_n = F.size(
+        F.filter(tokens, lambda t: t.isin(*STOPWORDS))
+    )
+    stop_ratio = stop_n.cast("double") / n_tokens
+    quality = 0.5 * stop_ratio + 0.5 * F.least(
+        n_tokens.cast("double") / 100, F.lit(1.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "text_lang_profile",
+    oracle=f"""
+        SELECT lang,
+               CAST(SUM(CAST(
+                        CAST(len(list_filter(string_split(text, ' '),
+                                             t -> t IN ({_STOPWORDS_SQL})))
+                             AS DOUBLE)
+                        / len(string_split(text, ' ')) AS DECIMAL(18,9)))
+                    AS DOUBLE) / COUNT(*) AS avg_stop_ratio,
+               CAST(SUM(CAST(
+                        CAST(LENGTH(text) AS DOUBLE)
+                        / len(string_split(text, ' ')) AS DECIMAL(18,9)))
+                    AS DOUBLE) / COUNT(*) AS avg_token_len
+        FROM documents GROUP BY lang
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language n-gram-ish profile (stopword ratio + mean token length) —
+    the feature vector a language-ID heuristic thresholds on.
+
+    Averages of per-row double ratios go through DECIMAL(18,9) per row so the
+    sum is independent of partition/summation order (see _util docs).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    stop_n = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = (stop_n.cast("double") / n_tokens).cast("decimal(18,9)")
+    tok_len = (F.length("text").cast("double") / n_tokens).cast("decimal(18,9)")
+    return docs.groupBy("lang").agg(
+        (F.sum(stop_ratio).cast("double") / F.count("*")).alias(
+            "avg_stop_ratio"
+        ),
+        (F.sum(tok_len).cast("double") / F.count("*")).alias("avg_token_len"),
+    )

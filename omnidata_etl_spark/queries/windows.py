@@ -1,0 +1,134 @@
+"""Window-function queries (SURVEY.md §2B "Window functions"). EXT provenance.
+
+Determinism: every window ORDER BY ends in a unique key (c_custkey, event_id,
+o_orderkey) so row_number/ntile/lag assignments are total-order-stable across
+engines. Running sums use per-row DECIMAL casts (order-proof, _util doc).
+
+Scale: a window partitioned by a high-cardinality key (user_id) shuffles once
+on that key and sorts within partitions — the same cost shape as a groupBy;
+no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import DEC
+from omnidata_etl_spark.registry import query
+
+
+@query(
+    "window_rank_topn",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_name, c_acctbal, rnk FROM (
+            SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+            FROM customer
+        ) WHERE rnk <= 3
+    """,
+    tags=("window",),
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per segment, tie-broken by c_custkey."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rnk")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               lag(event_type)  OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_value
+        FROM events
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    return ev.select("event_id", "user_id", running.alias("running_value"))
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   / COUNT(value) OVER w AS mov_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average as decimal-SUM/COUNT (deterministic; see _util)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mov = F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count(
+        "value"
+    ).over(w)
+    return ev.select("event_id", "user_id", mov.alias("mov_avg"))
+
+
+@query(
+    "window_ntile",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               ntile(4) OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderstatus", F.ntile(4).over(w).alias("quartile")
+    )

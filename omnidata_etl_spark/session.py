@@ -1,0 +1,78 @@
+"""SparkSession factory + tuning for the omnidata-etl-spark engine.
+
+The engine is designed for a large multi-executor cluster (the 100 TB design
+point) but is exercised locally on ``local[N]``. Everything here is sizing, not
+semantics: AQE re-plans shuffles at runtime, shuffle partitions default to the
+core count instead of 200 (right for local/bench scale; a real cluster
+deployment would raise it or rely on AQE coalescing), and ANSI mode is on from
+day 1 so casts are strict (reference behavior: bad value aborts the load,
+``backend/index.js:240`` — see SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that is safe (and required for oracle parity) to set at runtime on any
+# session, including the driver-provided one.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",  # duckdb timestamps are UTC-naive
+    "spark.sql.ansi.enabled": "true",  # strict casts (reference R7 semantics)
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read natively
+    # (PARQUET_TYPE_ILLEGAL): read as long, convert in catalog.table (ns→µs).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def ensure_tuned(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally-created session.
+
+    Called from every query builder so the driver's own SparkSession gets the
+    same semantics (UTC, ANSI, AQE) as one built by :func:`get_session`.
+    Leaves a deliberately-set shuffle-partition count alone; only replaces the
+    stock 200 default, which over-parallelizes the small scale factors.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be locked down
+            pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(default_parallelism())
+            )
+    except Exception:  # pragma: no cover
+        pass
+    return spark
+
+
+def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
+    """Build (or get) the engine's local session.
+
+    ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``; one JVM, so
+    ``spark.driver.memory`` is the only memory knob that matters locally.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("OMNIDATA_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_tuned(spark)
