@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Protocol (BASELINE.md): one shared SparkSession (JVM startup excluded),
+1 warm-up + N timed runs per query, per-query seconds = min of timed runs
+(steady-state; robust to GC noise). `value` is the sum of per-query seconds.
+
+Optional: BENCH_DUCKDB=1 also times the DuckDB oracle per query and writes
+BENCH_DETAIL.json with side-by-side numbers (the ≤2× gate, self-checked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from omnidata_etl_spark.registry import all_specs  # noqa: E402
+from omnidata_etl_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+# Streaming/sink/ingest behavioral ops are excluded from the headline timing
+# loop (they time filesystem staging, not query execution).
+SKIP = {"stream_structured_demo", "sink_errorifexists"}
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = TIMED_RUNS) -> float:
+    def once() -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.collect()
+        return time.perf_counter() - t0
+
+    once()  # warm-up (plan compilation, file listing, code gen)
+    return min(once() for _ in range(runs))
+
+
+def main() -> None:
+    spark = get_session("omnidata-bench")
+    specs = all_specs()
+    names = sorted(n for n in specs if n not in SKIP)
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        per_query[name] = round(time_query(specs[name].fn, spark, SF_DIR), 4)
+
+    total = round(sum(per_query.values()), 4)
+    result = {
+        "metric": "sum_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_label(SF_DIR),
+    }
+
+    if os.environ.get("BENCH_DUCKDB"):
+        import duckdb
+
+        from omnidata_etl_spark.catalog import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        detail = {}
+        for name in names:
+            oracle = specs[name].oracle
+            if not oracle:
+                continue
+            con.execute(oracle).fetchall()  # warm-up
+            t0 = time.perf_counter()
+            for _ in range(TIMED_RUNS):
+                con.execute(oracle).fetchall()
+            duck = (time.perf_counter() - t0) / TIMED_RUNS
+            detail[name] = {
+                "spark_sec": per_query[name],
+                "duckdb_sec": round(duck, 4),
+                "ratio": round(per_query[name] / duck, 2) if duck > 0 else None,
+            }
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

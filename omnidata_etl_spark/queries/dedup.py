@@ -36,6 +36,30 @@ def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Distinct token n-gram (shingle) sets per document.
+
+    Near-dup dedup must shingle, not use unigram token sets: on a small
+    vocabulary every pair of documents shares most *tokens* (measured here:
+    31-word vocab ⇒ LSH over token sets emitted 8M candidate pairs from 5k
+    docs — a full cross product). Shingles are position-sensitive, so random
+    documents share almost none and LSH candidates ≈ true near-duplicates.
+    Docs shorter than n tokens fall back to their whole text as one shingle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    shingles = F.when(
+        F.size(tokens) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return docs.select("doc_id", shingles.alias("tokens"))
+
+
 @query(
     "dedup_exact_docs",
     oracle="""
@@ -73,8 +97,13 @@ def minhash_signatures(token_sets: DataFrame, num_hashes: int = NUM_HASHES) -> D
     Hash family: xxhash64(seed_i, token) — Spark's built-in 64-bit hash with
     the seed as a leading literal column. All JVM-side; the groupBy(doc_id)
     MIN aggregation is map-side-combinable.
+
+    The repartition spreads the shingle-explode + 32-hash map work across all
+    cores: a single small parquet file otherwise collapses the whole pipeline
+    into one task (at cluster scale the source is already multi-partition and
+    AQE elides the extra shuffle when it isn't needed).
     """
-    tok = token_sets.select(
+    tok = token_sets.repartition(F.col("doc_id")).select(
         "doc_id", F.explode("tokens").alias("token")
     )
     aggs = [
@@ -147,12 +176,13 @@ def exact_jaccard(pairs: DataFrame, token_sets: DataFrame) -> DataFrame:
 
 @query("dedup_near_minhash", tags=("dedup", "lsh"))
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs: MinHash-LSH candidates, verified by exact
+    """Near-duplicate pairs: MinHash-LSH over 5-token shingles (the standard
+    LLM-corpus dedup formulation), candidates verified by exact shingle
     Jaccard ≥ 0.6. Rows-only (hash family not portable to DuckDB)."""
-    token_sets = _token_sets(spark, sf_dir)
-    sigs = minhash_signatures(token_sets)
+    shingle_sets = _shingle_sets(spark, sf_dir, n=5)
+    sigs = minhash_signatures(shingle_sets)
     cands = lsh_candidate_pairs(sigs)
-    return exact_jaccard(cands, token_sets).filter(
+    return exact_jaccard(cands, shingle_sets).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -166,7 +196,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions — no UDFs, one groupBy(doc_id) shuffle.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tok = docs.repartition(F.col("doc_id")).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
     h = F.xxhash64("token")
     bit_votes = [
         F.sum(
@@ -191,21 +223,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram (token trigram) Jaccard ≥ 0.6, with
-    MinHash-LSH candidate generation over shingles. Rows-only."""
-    docs = table(spark, sf_dir, "documents")
-    tokens = F.split("text", " ")
-    shingles = F.when(
-        F.size(tokens) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tokens) - 2),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)),
-            )
-        ),
-    ).otherwise(F.array(F.col("text")))
-    token_sets = docs.select("doc_id", shingles.alias("tokens"))
-    sigs = minhash_signatures(token_sets)
+    MinHash-LSH candidate generation over the same shingles. Rows-only."""
+    shingle_sets = _shingle_sets(spark, sf_dir, n=3)
+    sigs = minhash_signatures(shingle_sets)
     cands = lsh_candidate_pairs(sigs)
-    return exact_jaccard(cands, token_sets).filter(
+    return exact_jaccard(cands, shingle_sets).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )

@@ -1,0 +1,41 @@
+"""Multimodal plumbing tests: the Arrow-batched mapInPandas pipeline works on
+binary payloads with the declared schemas; real decode is a marked stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries.multimodal import (
+    FEATURE_SCHEMA,
+    assets_from_documents,
+    decode_image,
+    extract_features,
+    fake_features,
+)
+
+
+def test_decode_is_a_marked_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_fake_features_deterministic():
+    assert fake_features(b"abc") == fake_features(b"abc")
+    assert fake_features(None) == [0.0, 0.0, 0.0, 0.0]
+    assert fake_features(b"") == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_feature_extraction_pipeline(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(50)
+    assets = assets_from_documents(docs)
+    assert dict(assets.dtypes)["payload"] == "binary"
+    feats = extract_features(assets)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["media_type"] in ("image", "audio", "video")
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 4
+        assert r["feature"][0] == float(r["n_bytes"])  # stub contract
