@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from omnidata_etl_spark.catalog import register_views, table
+from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.queries._util import dec2, dsum
 from omnidata_etl_spark.registry import query
 
@@ -143,15 +143,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg",),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets — SQL form (same Catalyst Expand plan as cube)."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    """Explicit grouping sets via the DataFrame API (Spark 4's groupingSets —
+    the same Catalyst Expand plan the SQL form produces)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
     )
 
 

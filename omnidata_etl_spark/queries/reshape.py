@@ -1,0 +1,131 @@
+"""Reshaping + ETL-maintenance operators: pivot, percentiles, window
+first/last, and upsert emulation (EXT provenance — absent from the
+reference, standard analytics surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.registry import query
+
+ORDER_STATUSES = ("O", "F", "P")
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("reshape", "pivot"),
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per status). Explicit pivot values keep the plan a
+    single pass (no extra distinct-values job) — required at scale anyway."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .count()
+    )
+    renamed = wide.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ORDER_STATUSES],
+    )
+    return renamed
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+        SELECT o_orderstatus,
+               median(o_totalprice) AS median_price,
+               quantile_cont(o_totalprice, 0.9) AS p90_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation at p*(n-1) in both engines).
+    The 100 TB path is approx_percentile (sketch, one pass); exact
+    percentile shuffles values per group and is declared here for parity."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+        SELECT event_id, user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type)  OVER w AS latest_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value per user up to each event (running 'first touch /
+    latest touch' attribution shape)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("latest_type"),
+    )
+
+
+@query(
+    "etl_upsert",
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE)
+                       AS o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'updated' AS src
+        FROM updates
+        UNION ALL
+        SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+               'base' AS src
+        FROM orders b
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = b.o_orderkey)
+    """,
+    tags=("etl", "upsert"),
+)
+def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation without a lake format: updates ∪ (base ⟕̸ anti
+    updates) — the SURVEY.md §4 'CDC without Delta' pattern. The update set
+    here is derived deterministically from orders itself (keys % 100 = 0,
+    price + 1000) so the op is oracle-checkable."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", (dec2("o_totalprice") + 1000).cast("double")
+    )
+    merged = updates.withColumn("src", F.lit("updated")).unionByName(
+        base.join(updates, "o_orderkey", "left_anti").withColumn(
+            "src", F.lit("base")
+        )
+    )
+    return merged

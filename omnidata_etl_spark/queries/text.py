@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.registry import query
 
+FINGERPRINT_SHINGLE = 5
+
 # Tiny embedded stopword list for quality scoring / language heuristics.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -123,6 +125,42 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
     )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+                 list_min(list_transform(
+                     generate_series(1, len(string_split(text, ' ')) - 4),
+                     i -> md5(array_to_string(
+                              string_split(text, ' ')[i:i+4], ' '))))
+               ELSE md5(text) END AS fingerprint
+        FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling document fingerprint: min MD5 over 5-token shingles (a
+    1-hash MinHash — winnowing-style content fingerprint, stable under
+    small edits away from the minimal shingle). md5 hex is lowercase on
+    both engines; docs under 5 tokens fingerprint their whole text."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n = F.size(tokens)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n - (FINGERPRINT_SHINGLE - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(tokens, i, FINGERPRINT_SHINGLE)).cast(
+                "binary"
+            )
+        ),
+    )
+    fingerprint = F.when(
+        n >= FINGERPRINT_SHINGLE, F.array_min(shingle_hashes)
+    ).otherwise(F.md5(F.col("text").cast("binary")))
+    return docs.select("doc_id", fingerprint.alias("fingerprint"))
 
 
 @query(

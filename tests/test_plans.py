@@ -1,0 +1,58 @@
+"""Physical-plan shape assertions (SURVEY.md §4 / the 100 TB design point):
+filters and projections must reach the parquet scan, tiny dims must
+broadcast, and top-k must plan as TakeOrderedAndProject — not a full sort.
+These guard against regressions that stay correct but stop scaling."""
+
+from __future__ import annotations
+
+from omnidata_etl_spark.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _SPECS[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_numeric")
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,30" in plan.replace(" ", "")
+
+
+def test_projection_pruned_at_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "project_columns")
+    # ReadSchema carries only the 3 selected columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_custkey" in read and "c_name" in read and "c_mktsegment" in read
+    assert "c_acctbal" not in read and "c_nationkey" not in read
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast_dims")
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan  # zero-shuffle dim join
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_multiway_star")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "order_multi_nulls")
+    assert "TakeOrderedAndProject" in plan  # never a global Sort for LIMIT
+
+
+def test_semi_anti_plan_as_joins(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    # map-side partial aggregation before the shuffle (two HashAggregates)
+    plan = _plan(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
