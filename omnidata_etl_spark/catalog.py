@@ -36,6 +36,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_tuned(spark)
+    key = (id(spark), sf_dir, name)
+    cached = _HANDLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -43,7 +47,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _HANDLE_CACHE[key] = df
     return df
+
+
+# DataFrame *handles* (logical plans, not data) keyed by session+path: avoids
+# re-listing parquet footers on every builder call. Bounded by table count.
+_HANDLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
