@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import dec2, dsum
+from omnidata_etl_spark.queries._util import DEC, dec2, dsum
 from omnidata_etl_spark.registry import query
 
 
@@ -153,6 +153,38 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: explicit salt → partial agg on (key, salt) →
+    final re-agg on key. Results are provably identical to the plain groupBy
+    (that's the oracle); the point is the plan — a hot key's rows spread
+    over SALT_BUCKETS reducers in phase 1, so no single task owns a 100 TB
+    key. (Spark's own partial aggregation covers moderate skew; explicit
+    salting is the pattern for when a single group exceeds one executor.)"""
+    SALT_BUCKETS = 8
+    li = table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").cast("double").alias("sum_qty"),
     )
 
 

@@ -14,7 +14,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
@@ -182,6 +182,70 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
         "inner",
     ).select("o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "join_asof",
+    oracle="""
+        SELECT e.event_id,
+               o.o_orderkey AS asof_orderkey,
+               o.o_totalprice AS asof_totalprice
+        FROM events e
+        LEFT JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+            LIMIT 1
+        ) o ON TRUE
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §7.3 #4 stretch): for each event, the latest
+    order of that customer (user_id ≡ custkey) at-or-before the event time;
+    ties on date broken by o_orderkey (a total order, so both engines agree).
+
+    Spark lacks a native as-of join; this is the *linear* union+window
+    emulation — tag both sides into one keyed stream, sort within key by
+    (ts, side, key), and carry the last-seen build row forward with
+    last(ignorenulls). One shuffle on the key, no per-row probe join: the
+    100 TB shape. The oracle is a completely different formulation (LATERAL
+    top-1 per probe row), making this a genuine differential check of the
+    emulation's semantics.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),  # build side sorts before probes at equal t (<=)
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = orders.unionByName(ev).select(
+        "side",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_totalprice", ignorenulls=True)
+        .over(w)
+        .alias("asof_totalprice"),
+    )
+    return tagged.filter(F.col("side") == 1).select(
+        "event_id", "asof_orderkey", "asof_totalprice"
+    )
 
 
 @query(

@@ -36,13 +36,7 @@ def tumbling_stream(
     parquet schema (ts is a nanos long under `nanosAsLong`) — the ns→µs
     conversion happens on the stream, mirroring catalog.table.
     """
-    src_file = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(src_file).schema
-    stream_dir = tempfile.mkdtemp(prefix="omnidata_stream_src_")
-    os.symlink(src_file, os.path.join(stream_dir, "events.parquet"))
-    src = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if isinstance(src.schema["ts"].dataType, T.LongType):
-        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    src = _event_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -70,3 +64,57 @@ def tumbling_stream(
 @query("stream_structured_demo", tags=("streaming",))
 def stream_structured_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_stream(spark, sf_dir)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (raw schema; ns→µs)."""
+    src_file = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src_file).schema
+    stream_dir = tempfile.mkdtemp(prefix="omnidata_stream_src_")
+    os.symlink(src_file, os.path.join(stream_dir, "events.parquet"))
+    src = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return src
+
+
+@query("stream_stateful_user_totals", tags=("streaming", "stateful"))
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, value total) kept in explicit group
+    state — the engine's extension point for operators Structured
+    Streaming lacks natively. Rows-only; tests assert the final state
+    equals the batch groupBy (tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    src = _event_stream(spark, sf_dir)
+    agg = src.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"omnidata_stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

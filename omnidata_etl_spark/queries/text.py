@@ -127,6 +127,91 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Marker-token profiles for the language-ID heuristic. The corpus vocabulary
+# is synthetic engine-speak (31 words, uncorrelated with the lang column), so
+# these demonstrate the argmax-over-profiles *operator*; swap in real
+# stopword profiles for natural-language corpora.
+LANG_MARKERS = {
+    "lang_a": ("join", "hash", "merge", "scan"),
+    "lang_b": ("row", "batch", "column", "filter"),
+    "lang_c": ("customer", "order", "table", "window"),
+}
+
+
+def _markers_sql(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+        SELECT doc_id,
+               CASE
+                 WHEN a >= b AND a >= c THEN 'lang_a'
+                 WHEN b >= c THEN 'lang_b'
+                 ELSE 'lang_c'
+               END AS lang_pred
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_markers_sql(LANG_MARKERS["lang_a"])}))) AS a,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_markers_sql(LANG_MARKERS["lang_b"])}))) AS b,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_markers_sql(LANG_MARKERS["lang_c"])}))) AS c
+            FROM documents
+        )
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID: count marker-token hits per language
+    profile, argmax with a fixed preference order as the tiebreak (the
+    standard cheap lang-ID shape: profiles → scores → argmax). Shuffle-free
+    map work."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+
+    def score(words: tuple[str, ...]):
+        # real closure — a two-parameter lambda would make pyspark pass the
+        # array *index* as the second argument
+        return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+    a = score(LANG_MARKERS["lang_a"])
+    b = score(LANG_MARKERS["lang_b"])
+    c = score(LANG_MARKERS["lang_c"])
+    pred = (
+        F.when((a >= b) & (a >= c), "lang_a")
+        .when(b >= c, "lang_b")
+        .otherwise("lang_c")
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+@query(
+    "text_token_count_regex",
+    oracle=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe_ish
+        FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count: alphanumeric runs + single punctuation
+    marks (the pre-tokenizer split most BPE vocabularies assume). RE2
+    (DuckDB) and Java regex agree on this pattern class."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        ).alias("n_bpe_ish"),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

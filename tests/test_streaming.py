@@ -16,6 +16,31 @@ def test_stream_complete_equals_batch(spark, sf_dir):
     assert canonical(stream_pdf) == canonical(batch_pdf)
 
 
+def test_stateful_totals_equal_batch(spark, sf_dir):
+    """applyInPandasWithState final per-user state == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.catalog import table
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in all_specs()["stream_stateful_user_totals"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, t) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - t) < 1e-6
+
+
 def test_stream_append_withholds_unclosed_windows(spark, sf_dir):
     """In append mode, windows not yet past the watermark are withheld — with
     one static batch the watermark only advances *after* it, so nothing is
