@@ -93,6 +93,77 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "reshape_unpivot",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS attribute, CAST(p_size AS DOUBLE) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+    tags=("reshape", "unpivot"),
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide numeric columns → (attribute, value) long form
+    (Catalyst Expand — one pass, rows × n_columns output)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attribute",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "agg_string_collect",
+    oracle="""
+        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg: collect_list is unordered in a distributed agg, so
+    the list is array_sort-ed before joining — the only way a collected
+    string is deterministic on any engine."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        )
+    )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + week truncation + month-end (both engines
+    start weeks on Monday)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias(
+            "week_start"
+        ),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@query(
     "etl_upsert",
     oracle="""
         WITH updates AS (
