@@ -84,6 +84,50 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_window_batch",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(MIN(event_id) AS BIGINT) AS first_event,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("events", "session"),
+)
+def stream_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window in batch mode, differentially checked
+    against the lag+cumsum formulation (as SQL oracle). Boundary semantics:
+    session_window merges an event iff ts < previous + gap, so the oracle's
+    new-session condition is `>= 1800` — strictly-greater (`stream_sessionize`)
+    and at-or-beyond differ exactly on gap == 30 min.
+
+    Sessions are identified by their MIN(event_id) (ts-free, deterministic) —
+    never by raw session timestamps (ns/µs mismatch, SURVEY.md §7.3 #7).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("event_id").alias("first_event"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "first_event", "n_events")
+    )
+
+
+@query(
     "stream_dedup_latest",
     oracle="""
         SELECT event_id, user_id, event_type, value FROM (

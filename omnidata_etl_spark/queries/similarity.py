@@ -181,6 +181,109 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 2
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids(spark: SparkSession, emb: "DataFrame") -> "DataFrame":
+    """K-means centroids for an IVF index: deterministic init (first K by
+    vec_id), two Lloyd iterations. Assignment is a broadcast crossJoin +
+    per-vector argmin (K rows broadcast, one corpus scan per iteration);
+    the centroid update is a posexplode → (cluster, dim) mean — all
+    distributed. Only the K×dim centroid table itself passes through the
+    driver between iterations (standard k-means coordination; this is how
+    MLlib drives it too)."""
+    from pyspark.sql import Window
+
+    seeds = emb.orderBy("vec_id").limit(IVF_CLUSTERS).collect()
+    centroids = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)
+    ]
+    for _ in range(IVF_ITERS):
+        cdf = spark.createDataFrame(centroids, "cid int, cvec array<double>")
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        assigned = (
+            emb.crossJoin(F.broadcast(cdf))
+            .withColumn("d", sq_dist(F.col("embedding"), F.col("cvec")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "embedding")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s.m).alias("cvec"))
+            .collect()
+        )
+        centroids = [(r["cid"], list(r["cvec"])) for r in means]
+    return spark.createDataFrame(centroids, "cid int, cvec array<double>")
+
+
+@query("ann_ivf_topk", tags=("similarity", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → assign corpus to
+    cells → probe the NPROBE cells nearest the query → exact cosine re-rank
+    inside the probed cells only. Rows-only (centroids are engine-derived).
+
+    Scale shape: the assigned corpus is written `partitionBy(cid)`; a query
+    reads NPROBE/K of the data — IVF as Spark partitioning, the same layout
+    trick as ann_lsh_topk but with data-adaptive cells.
+    """
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, emb)
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d", sq_dist(F.col("embedding"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    probe_cells = (
+        assigned.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .crossJoin(cents)
+        .withColumn("d", sq_dist(F.col("embedding"), F.col("cvec")))
+        .orderBy("d")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+    return (
+        cand.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @query("dedup_embedding_cosine", tags=("similarity", "dedup"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ 0.95 among vectors sharing an

@@ -1,0 +1,137 @@
+"""`omnidata_text`: a Python DataSource (Spark 4 API) wrapping the
+reference's sniffing text scan as a first-class connector.
+
+SURVEY.md §4 lists "a v2 DataSource wrapping 'sniffing CSV' so
+delimiter/`---` handling is pushed into the scan" as the one candidate for
+custom source work. This is that source, built on the public
+`pyspark.sql.datasource` API: delimiter sniffing (tab > pipe > comma,
+/root/reference backend/index.js:107-109), markdown `---`-row skip and edge
+pipe stripping (:111,:114,:221), cell trim + empty→NULL (:115,:117,:223) all
+happen inside the partition reader, so the cleaned table is what Spark sees.
+
+Usage::
+
+    register_text_source(spark)
+    df = spark.read.format("omnidata_text").load(path)
+
+Partitioning: one input file = one partition (files are line-oriented with a
+header; splitting a file would need byte-range + header re-sync like Spark's
+CSV source — a documented future step). A directory of files fans out across
+executors, which is the 100 TB layout anyway.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def _sniff(first_line: str) -> str:
+    if "\t" in first_line:
+        return "\t"
+    if "|" in first_line:
+        return "|"
+    return ","
+
+
+def _clean_cell(cell: str) -> str | None:
+    c = cell.strip()
+    if c.startswith('"') and c.endswith('"') and len(c) >= 2:
+        c = c[1:-1].strip()
+    return c if c != "" else None
+
+
+def _is_separator_row(line: str) -> bool:
+    s = line.strip().strip("|").strip()
+    return bool(s) and all(ch in "-:| " for ch in s) and "-" in s
+
+
+def _parse_line(line: str, sep: str) -> list[str]:
+    if sep == "|":
+        line = line.strip()
+        if line.startswith("|"):
+            line = line[1:]
+        if line.endswith("|"):
+            line = line[:-1]
+    return line.split(sep)
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    return [path]
+
+
+def _header_of(path: str) -> tuple[list[str], str]:
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                sep = _sniff(line)
+                cells = [_clean_cell(c) or "" for c in _parse_line(line.rstrip("\n"), sep)]
+                return cells, sep
+    return [], ","
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _TextReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePartition(p) for p in _list_files(self.path)]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        n_cols = len(self.schema.fields)
+        header, sep = _header_of(partition.path)
+        skipped_header = False
+        with open(partition.path, encoding="utf-8") as f:
+            for raw in f:
+                line = raw.rstrip("\n")
+                if not line.strip():
+                    continue  # blank-line skip (backend/index.js:212)
+                if _is_separator_row(line):
+                    continue  # markdown `---` row (backend/index.js:114)
+                if not skipped_header:
+                    skipped_header = True
+                    continue
+                cells = [_clean_cell(c) for c in _parse_line(line, sep)]
+                # pad short rows with NULLs (save-path behavior, :223)
+                cells += [None] * (n_cols - len(cells))
+                yield tuple(cells[:n_cols])
+
+
+class OmnidataTextDataSource(DataSource):
+    """format("omnidata_text") — sniffing text/markdown scan as a source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "omnidata_text"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("omnidata_text requires a path")
+        first = _list_files(path)
+        header, _ = _header_of(first[0]) if first else ([], ",")
+        # text-by-default: every column is a string (backend/index.js:36);
+        # types are applied by the user-directed mapping (ingest.load)
+        return StructType([StructField(h, StringType(), True) for h in header])
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _TextReader(schema, dict(self.options))
+
+
+def register_text_source(spark) -> None:
+    spark.dataSource.register(OmnidataTextDataSource)

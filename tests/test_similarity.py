@@ -1,0 +1,32 @@
+"""Similarity-search behavioral tests: ANN variants must approximate the
+brute-force ranking with measurable recall, deterministically."""
+
+from __future__ import annotations
+
+from omnidata_etl_spark.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def _ids(spark, sf_dir, name):
+    return [r["vec_id"] for r in _SPECS[name].fn(spark, sf_dir).collect()]
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = set(_ids(spark, sf_dir, "similarity_cosine_topk"))
+    ivf = set(_ids(spark, sf_dir, "ann_ivf_topk"))
+    # deterministic corpus + deterministic centroids → stable recall;
+    # measured 9/10 at nprobe=4 of 16 cells
+    assert len(brute & ivf) >= 7
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    assert _ids(spark, sf_dir, "ann_ivf_topk") == _ids(
+        spark, sf_dir, "ann_ivf_topk"
+    )
+
+
+def test_lsh_results_subset_of_corpus(spark, sf_dir):
+    lsh = _ids(spark, sf_dir, "ann_lsh_topk")
+    assert lsh  # the query's own bucket is never empty (contains itself)
+    assert 0 not in lsh  # self excluded
