@@ -27,7 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 # Streaming/sink/ingest behavioral ops are excluded from the headline timing
 # loop (they time filesystem staging, not query execution).
-SKIP = {"stream_structured_demo", "sink_errorifexists"}
+SKIP = {
+    "stream_structured_demo",
+    "stream_stateful_user_totals",
+    "sink_errorifexists",
+}
 
 
 def _sf_label(sf_dir: str) -> float:
