@@ -115,19 +115,35 @@ def read_json(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    """Excel scan (R3): first sheet, blank cells → NULL. Gated on pandas
-    having an xlsx engine in the environment (import-try)."""
+    """Excel scan (R3): first sheet, header row, blank cells → NULL
+    (reference `defval:""` normalized to NULL per R10; /root/reference
+    backend/index.js:93-96,:200-205).
+
+    Prefers pandas+openpyxl when present; otherwise falls back to the
+    built-in minimal XLSX reader (ingest/xlsx.py) — shared/inline strings
+    and numeric cells, which covers the reference's ingestion semantics.
+    """
     ensure_tuned(spark)
     try:
+        import openpyxl  # noqa: F401
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=0, dtype=str)
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "no xlsx engine (openpyxl) in this environment"
-        ) from exc
-    pdf = pdf.where(pdf.notna(), None)
-    return spark.createDataFrame(pdf)
+        pdf = pdf.where(pdf.notna(), None)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        from omnidata_etl_spark.ingest.xlsx import read_xlsx_rows
+
+        rows = read_xlsx_rows(path)
+        if not rows:
+            return spark.createDataFrame([], T.StructType([]))
+        headers = [h or f"col{i}" for i, h in enumerate(rows[0])]
+        schema = T.StructType(
+            [T.StructField(h, T.StringType(), True) for h in headers]
+        )
+        body = [tuple(r[: len(headers)]) + (None,) * (len(headers) - len(r))
+                for r in rows[1:]]
+        return _empty_to_null(spark.createDataFrame(body, schema))
 
 
 _EXT_READERS = {

@@ -67,6 +67,25 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize requires an image codec — not in this container."""
+    raise NotImplementedError(
+        "image resize stub: install pillow/opencv; keep the mapInPandas "
+        "batch shape of extract_features"
+    )
+
+
+def sample_frames(payload: bytes, every_ms: int = 1000) -> list[bytes]:
+    """Real frame sampling requires a video decoder (ffmpeg/pyav) — not in
+    this container. The deterministic fake slices the byte stream into
+    pseudo-frames so the explode-style plumbing is testable."""
+    if payload is None or len(payload) == 0:
+        return []
+    n_frames = max(1, min(4, len(payload) // 16))
+    step = len(payload) // n_frames
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
 def fake_features(payload: bytes, dim: int = 4) -> list[float]:
     """Deterministic stand-in for a decoded-feature vector: byte statistics.
 
@@ -123,6 +142,39 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assets"),
         F.sum(F.octet_length(payload)).alias("total_bytes"),
         F.max(F.octet_length(payload)).alias("max_bytes"),
+    )
+
+
+@query("multimodal_frame_sample", tags=("multimodal", "pandas-udf"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: video assets → mapInPandas explode into
+    per-frame rows (asset_id, frame_idx, frame binary) → per-asset frame
+    counts. The decoder is the deterministic stub; the Arrow batch shape
+    and one-to-many row fan-out are the real thing. Rows-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, frame in enumerate(sample_frames(payload)):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    frame_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+    docs = table(spark, sf_dir, "documents")
+    videos = assets_from_documents(docs).filter(F.col("media_type") == "video")
+    frames = videos.mapInPandas(op, schema=frame_schema)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("frame_bytes"),
     )
 
 

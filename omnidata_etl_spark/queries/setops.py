@@ -68,6 +68,35 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection: each value kept min(left count, right count)
+    times."""
+    return _cust_keys(spark, sf_dir).intersectAll(_supp_keys(spark, sf_dir))
+
+
+@query(
+    "set_except_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: left multiplicities reduced by right's."""
+    return _cust_keys(spark, sf_dir).exceptAll(_supp_keys(spark, sf_dir))
+
+
+@query(
     "set_except",
     oracle="""
         SELECT c_nationkey AS nationkey FROM customer

@@ -87,6 +87,25 @@ def test_markdown_preview(spark):
     assert p["preview"][0]["person_id"] == "1"
 
 
+def test_excel_roundtrip(spark, tmp_path):
+    """R3: first-sheet Excel read via the dependency-free xlsx reader
+    (fixture workbook written by the same module's minimal writer)."""
+    from omnidata_etl_spark.ingest.fixtures import _ROWS
+    from omnidata_etl_spark.ingest.xlsx import write_xlsx
+
+    path = str(tmp_path / "people.xlsx")
+    rows = list(_ROWS)
+    rows[2] = rows[2][:4] + ("", "")  # blank cells → NULL
+    write_xlsx(path, list(PEOPLE_HEADERS), rows)
+    df = read_any(spark, path)
+    assert tuple(df.columns) == PEOPLE_HEADERS
+    got = {r["person_id"]: r for r in df.collect()}
+    assert len(got) == N_PEOPLE
+    assert got["1"]["full_name"] == "Ada Lovelace"
+    assert got["3"]["active"] is None  # blank cell → NULL (R10)
+    assert got["3"]["notes"] is None
+
+
 def test_sanitize_identifier():
     # strip [^a-zA-Z0-9_] + lowercase (backend/index.js:146)
     assert sanitize_identifier("My Table-2024!") == "mytable2024"
