@@ -8,6 +8,8 @@ predicate pushdown / column pruning / vectorized reads from Catalyst for free
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from omnidata_etl_spark.session import ensure_tuned
@@ -36,8 +38,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_tuned(spark)
-    key = (id(spark), sf_dir, name)
-    cached = _HANDLE_CACHE.get(key)
+    per_session = _HANDLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -47,13 +50,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    _HANDLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 
-# DataFrame *handles* (logical plans, not data) keyed by session+path: avoids
-# re-listing parquet footers on every builder call. Bounded by table count.
-_HANDLE_CACHE: dict[tuple, DataFrame] = {}
+# DataFrame *handles* (logical plans, not data) per live session: avoids
+# re-listing parquet footers on every builder call. Weak keys so a stopped
+# session's handles die with it (an id()-keyed dict could alias a recycled
+# address to stale plans).
+_HANDLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

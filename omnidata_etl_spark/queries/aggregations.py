@@ -157,6 +157,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_bool",
+    oracle="""
+        SELECT c_mktsegment,
+               bool_and(c_acctbal > 0) AS all_positive,
+               bool_or(c_acctbal > 9000) AS any_high
+        FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_high"),
+    )
+
+
+@query(
     "agg_salted_two_phase",
     oracle="""
         SELECT l_returnflag,

@@ -117,6 +117,61 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rank_metrics",
+    oracle="""
+        SELECT o_orderkey,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / rank / dense_rank over a total order
+    (o_orderkey tiebreak ⇒ both engines compute identical (r-1)/(n-1) and
+    r/n doubles — same integer inputs, same division)."""
+    ev = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return ev.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_orderstatus ORDER BY o_orderkey
+                    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS near_total
+        FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) frame: sum over orders whose key lies within 100
+    of the current row's — frame membership driven by values, not row
+    positions (both engines define RANGE identically over a numeric key)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    near = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    return o.select("o_orderkey", "o_orderstatus", near.alias("near_total"))
+
+
+@query(
     "window_ntile",
     oracle="""
         SELECT o_orderkey, o_orderstatus,
