@@ -8,8 +8,6 @@ predicate pushdown / column pruning / vectorized reads from Catalyst for free
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession
 
 from omnidata_etl_spark.session import ensure_tuned
@@ -38,7 +36,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_tuned(spark)
-    per_session = _HANDLE_CACHE.setdefault(spark, {})
+    # DataFrame *handles* (logical plans, not data) cached on the session
+    # object itself, so the cache's lifetime IS the session's. (A
+    # module-global WeakKeyDictionary cannot work here: each cached
+    # DataFrame strongly references its session via df._session, pinning
+    # the weak key forever; and an id()-keyed dict could alias a recycled
+    # address to a dead session's plans.)
+    per_session = getattr(spark, "_omnidata_handle_cache", None)
+    if per_session is None:
+        per_session = {}
+        spark._omnidata_handle_cache = per_session
     key = (sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:
@@ -52,13 +59,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     per_session[key] = df
     return df
-
-
-# DataFrame *handles* (logical plans, not data) per live session: avoids
-# re-listing parquet footers on every builder call. Weak keys so a stopped
-# session's handles die with it (an id()-keyed dict could alias a recycled
-# address to stale plans).
-_HANDLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -134,9 +134,9 @@ def window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / rank / dense_rank over a total order
     (o_orderkey tiebreak ⇒ both engines compute identical (r-1)/(n-1) and
     r/n doubles — same integer inputs, same division)."""
-    ev = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return ev.select(
+    return o.select(
         "o_orderkey",
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
