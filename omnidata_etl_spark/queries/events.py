@@ -84,6 +84,38 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hopping_counts",
+    oracle="""
+        WITH buckets AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start,
+                   event_type FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                   event_type FROM events
+        )
+        SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM buckets GROUP BY win_start, event_type
+    """,
+    tags=("events", "window"),
+)
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window counts: 1-hour windows every 30 minutes —
+    each event lands in exactly two windows. The oracle materializes the
+    same two window starts per event explicitly (time_bucket and its
+    predecessor), a different formulation of the same semantics."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+
+
+@query(
     "stream_session_window_batch",
     oracle="""
         WITH flagged AS (

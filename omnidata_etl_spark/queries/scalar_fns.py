@@ -162,6 +162,33 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_json_struct",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               json_extract_string(props, '$.missing') AS missing_val,
+               CAST(json_valid(props) AS BOOLEAN) AS is_valid
+        FROM events WHERE props IS NOT NULL
+    """,
+    tags=("scalar", "json"),
+)
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-directed JSON unpacking: from_json into a typed struct (the
+    engine's JSONB accessor for known shapes — one parse, many fields),
+    plus missing-key null semantics and validity probing."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json(
+        F.col("props"), "struct<k:int, missing:string>"
+    )
+    return ev.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        parsed.getField("k").alias("k_val"),
+        parsed.getField("missing").alias("missing_val"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@query(
     "fn_array",
     oracle="""
         SELECT vec_id,
