@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Scale-sanity probe: replicate the sf0.1 fact tables ~10x (≈ sf1, 6M
+lineitem rows) with remapped keys, run the heavy declared queries at both
+scales, and report the runtime ratio + whether the physical plan changed
+shape (e.g. AQE flipping a broadcast join to sort-merge).
+
+Synthesizes into /tmp (never touches /root/testdata). Usage:
+
+    python scripts/scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import TABLES, table
+from omnidata_etl_spark.registry import all_specs
+from omnidata_etl_spark.session import get_session
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/omnidata_scale"
+PROBE_QUERIES = (
+    "agg_pricing_summary",
+    "join_multiway_star",
+    "join_theta_range",
+    "window_rank_topn",
+    "stream_sessionize",
+)
+KEY_OFFSET = 10_000_000_000
+
+
+def build(spark, replicas: int) -> str:
+    out_dir = f"{OUT}/x{replicas}"
+    done_flag = f"{out_dir}/.done"
+    if os.path.exists(done_flag):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(replicas).withColumnRenamed("id", "rep")
+
+    li = table(spark, BASE, "lineitem").crossJoin(reps).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("rep") * KEY_OFFSET
+    ).drop("rep")
+    li.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    o = table(spark, BASE, "orders").crossJoin(reps).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("rep") * KEY_OFFSET
+    ).drop("rep")
+    o.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    ev = (
+        table(spark, BASE, "events")
+        .crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * KEY_OFFSET)
+        .withColumn(
+            "ts", F.col("ts") + F.make_interval(secs=F.col("rep") * 3600)
+        )
+        .drop("rep")
+    )
+    ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    for t in TABLES:
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    open(done_flag, "w").close()
+    return out_dir
+
+
+def plan_shape(spark, df) -> str:
+    txt = str(
+        spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+    )
+    ops = [
+        op
+        for op in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "HashAggregate",
+            "TakeOrderedAndProject",
+            "Window",
+        )
+        if op in txt
+    ]
+    return "+".join(ops)
+
+
+def run(spark, sf_dir: str, name: str) -> float:
+    fn = all_specs()[name].fn
+    fn(spark, sf_dir).count()  # warm (plan + listing)
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()  # count(): measure compute, not transfer
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = build(spark, replicas)
+    print(f"query,base_sec,x{replicas}_sec,ratio,base_plan,big_plan")
+    for name in PROBE_QUERIES:
+        t1 = run(spark, BASE, name)
+        t2 = run(spark, big, name)
+        fn = all_specs()[name].fn
+        p1 = plan_shape(spark, fn(spark, BASE))
+        p2 = plan_shape(spark, fn(spark, big))
+        print(
+            f"{name},{t1:.2f},{t2:.2f},{t2 / max(t1, 1e-9):.1f},"
+            f"{p1},{p2}"
+        )
+
+
+if __name__ == "__main__":
+    main()
