@@ -26,6 +26,14 @@ _RUNTIME_CONF = {
     # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read natively
     # (PARQUET_TYPE_ILLEGAL): read as long, convert in catalog.table (ns→µs).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Plan-time sizeInBytes is compressed-file-size-based; snappy parquet
+    # compresses ~3x, so a multi-million-row fact table can slip under the
+    # broadcast threshold at compile time (observed: 7.5M-row orders, 33MB
+    # on disk, chosen as BroadcastHashJoin build side — the broadcast-OOM
+    # pattern at cluster scale). Estimating uncompressed size fixes the
+    # decision; AQE still converts to broadcast when runtime stats show a
+    # side is truly small.
+    "spark.sql.sources.fileCompressionFactor": "3.0",
 }
 
 
