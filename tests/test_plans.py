@@ -52,6 +52,30 @@ def test_semi_anti_plan_as_joins(spark, sf_dir):
     assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB layout skill: write partitioned by a filter column, read
+    back with that filter → the scan must list only the matching partition
+    (partition pruning), not scan-then-filter."""
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.catalog import table
+
+    out = str(tmp_path / "docs_by_lang")
+    table(spark, sf_dir, "documents").write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "lang" in part[0] and "= en" in part[0]
+    # fully pruned: lang never appears as a pushed *data* filter
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert not pushed or "lang" not in pushed[0]
+    # and the result is correct
+    n_en = table(spark, sf_dir, "documents").filter(F.col("lang") == "en").count()
+    assert df.count() == n_en
+
+
 def test_pricing_summary_partial_agg(spark, sf_dir):
     # map-side partial aggregation before the shuffle (two HashAggregates)
     plan = _plan(spark, sf_dir, "agg_pricing_summary")
