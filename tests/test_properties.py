@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the ingestion primitives: the
+pure-Python pieces are checked over arbitrary inputs; one Spark round-trip
+property runs with a reduced example budget (JVM round-trips are ~0.3s)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from omnidata_etl_spark.ingest.load import sanitize_identifier
+from omnidata_etl_spark.ingest.readers import sniff_delimiter
+from omnidata_etl_spark.ingest.types import map_user_type
+
+# cell alphabet: printable, no delimiters/quotes/newlines (those exercise the
+# quoting path, covered by fixtures) and no pure-whitespace edge
+_CELL = st.text(
+    alphabet=string.ascii_letters + string.digits + ".:;+-_ ", min_size=1, max_size=20
+).map(str.strip).filter(bool)
+
+
+@given(st.text(max_size=100))
+def test_sniff_total_and_precedence(line):
+    sep = sniff_delimiter(line)
+    assert sep in ("\t", "|", ",")
+    if "\t" in line:
+        assert sep == "\t"
+    elif "|" in line:
+        assert sep == "|"
+
+
+@given(st.text(max_size=50))
+def test_map_user_type_total(user_type):
+    # never raises, always a Spark DataType, on arbitrary garbage
+    assert isinstance(map_user_type(user_type), T.DataType)
+
+
+@given(st.text(max_size=60))
+def test_sanitize_identifier_idempotent_and_safe(name):
+    s = sanitize_identifier(name)
+    assert s == sanitize_identifier(s)  # idempotent
+    assert all(c in string.ascii_lowercase + string.digits + "_" for c in s)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_CELL, _CELL, _CELL), min_size=1, max_size=6
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_csv_roundtrip_property(spark, tmp_path_factory, rows):
+    """Arbitrary delimiter-free cells survive write→sniff→read unchanged."""
+    import uuid
+
+    from omnidata_etl_spark.ingest.readers import read_any
+
+    path = str(tmp_path_factory.mktemp("prop") / f"{uuid.uuid4().hex}.csv")
+    headers = ["a", "b", "c"]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(",".join(headers) + "\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+    got = read_any(spark, path)
+    assert got.columns == headers
+    assert sorted(map(tuple, got.collect())) == sorted(rows)
