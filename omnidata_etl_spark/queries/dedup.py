@@ -95,13 +95,16 @@ def minhash_signatures(token_sets: DataFrame, num_hashes: int = NUM_HASHES) -> D
     """doc_id + minhash signature columns h0..h{n-1}.
 
     Hash family: xxhash64(seed_i, token) — Spark's built-in 64-bit hash with
-    the seed as a leading literal column. All JVM-side; the groupBy(doc_id)
-    MIN aggregation is map-side-combinable.
+    the seed as a leading literal column.
 
-    The repartition spreads the shingle-explode + 32-hash map work across all
-    cores: a single small parquet file otherwise collapses the whole pipeline
-    into one task (at cluster scale the source is already multi-partition and
-    AQE elides the extra shuffle when it isn't needed).
+    Formulation note (both measured at sf0.1): explode → groupBy(doc_id)
+    MIN wins over the per-row ``array_min(transform(...))`` form (3.6s vs
+    5.0s) — higher-order array functions drop out of whole-stage codegen,
+    while the aggregate path stays codegen'd AND its map-side partial MIN
+    collapses the shuffle to one 32-long row per document, so the "explode
+    shuffles every shingle" objection doesn't apply. The repartition spreads
+    the explode+hash map work when the source is a single local file
+    partition; at cluster scale AQE elides it.
     """
     tok = token_sets.repartition(F.col("doc_id")).select(
         "doc_id", F.explode("tokens").alias("token")
