@@ -78,6 +78,12 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("OMNIDATA_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # saveAsTable target (bucketed tables for co-located joins);
+        # keep the managed warehouse out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("OMNIDATA_WAREHOUSE", "/tmp/omnidata_warehouse"),
+        )
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -52,6 +52,45 @@ def test_semi_anti_plan_as_joins(spark, sf_dir):
     assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
 
 
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
+    """Bucketing as the co-located-join layout (SURVEY.md scale list): both
+    sides bucketed on the join key → sort-merge join reads buckets directly,
+    with NO shuffle exchange in the plan."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.catalog import table
+
+    suffix = uuid.uuid4().hex[:8]
+    lt, ot = f"b_lineitem_{suffix}", f"b_orders_{suffix}"
+    table(spark, sf_dir, "lineitem").write.bucketBy(4, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable(lt)
+    table(spark, sf_dir, "orders").write.bucketBy(4, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable(ot)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(lt).join(
+                spark.table(ot),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                j._jdf.queryExecution(), "formatted"
+            )
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """The 100 TB layout skill: write partitioned by a filter column, read
     back with that filter → the scan must list only the matching partition
