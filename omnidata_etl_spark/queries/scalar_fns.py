@@ -206,3 +206,37 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
     )
+
+
+@query(
+    "fn_array_higher_order",
+    oracle="""
+        SELECT vec_id,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               CAST(list_max(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                    AS DOUBLE) AS max_sq,
+               len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_large
+        FROM embeddings
+    """,
+    tags=("scalar", "array", "lambda"),
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (lambda transform/filter/exists) — the
+    JVM-side way to compute over embedding vectors without a UDF.
+
+    Each float element is cast to double *before* arithmetic so both engines
+    do the identical IEEE double multiply; max is order-independent.  These
+    stay inside whole-stage codegen — no Python, no shuffle, scan-only."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).alias(
+            "n_positive"
+        ),
+        F.array_max(sq).cast("double").alias("max_sq"),
+        F.exists("embedding", lambda x: x > F.lit(2.0)).alias("has_large"),
+    )

@@ -1,0 +1,125 @@
+"""Subquery shapes (EXT provenance — SURVEY.md §2B extensions).
+
+The reference has no subqueries of any kind (SURVEY.md §2A: the backend is
+single-table preview/save; /root/reference backend/index.js has no SELECT
+composition at all).  These queries cover the three classic decorrelation
+shapes an analytics engine must plan well:
+
+  * scalar aggregate subquery  -> one-row aggregate, broadcast to the probe
+    side (no shuffle of the fact table; the scalar is computed once);
+  * NOT IN (non-null rhs)      -> null-safe here by construction, planned as
+    a broadcast left-anti join;
+  * correlated EXISTS          -> decorrelated into a left-semi equi-join
+    with the correlated predicate as a join conjunct (Catalyst does exactly
+    this rewrite for SQL EXISTS; we express it directly).
+
+Scale notes (100 TB design point): all three keep the big table shuffle-free
+— the scalar and the NOT-IN list broadcast, and the EXISTS semi-join shuffles
+on the equi-key only (AQE picks sort-merge when both sides are facts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.registry import query
+
+
+@query(
+    "subquery_scalar_avg",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice >
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*)
+               FROM orders)
+    """,
+    tags=("subquery", "agg"),
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above the global average (scalar aggregate subquery).
+
+    The average is an exact decimal SUM divided by COUNT in double — the
+    same bits on both engines regardless of summation order — then
+    broadcast-joined to the probe side (single-row build, no fact shuffle).
+    """
+    o = table(spark, sf_dir, "orders")
+    avg_price = o.agg(
+        (F.sum(dec2("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    return (
+        o.join(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "subquery_not_in",
+    oracle="""
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE c_nationkey NOT IN
+              (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+    """,
+    tags=("subquery", "join"),
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers in nations with no negative-balance supplier (NOT IN).
+
+    Both columns are non-null by construction, so NOT IN coincides with a
+    left-anti join against the distinct (tiny) rhs, which broadcasts.  (With
+    a nullable rhs SQL NOT IN returns no rows if any rhs value is NULL; that
+    three-valued case is covered by `filter_null_semantics`.)
+    """
+    c = table(spark, sf_dir, "customer")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_nationkey")
+        .distinct()
+    )
+    return c.join(
+        F.broadcast(s), c.c_nationkey == s.s_nationkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "tpch", "agg"),
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped after the order
+    date, counted per priority (correlated EXISTS).
+
+    Decorrelated to a left-semi join on the equi-key with the correlated
+    comparison as a join conjunct — the exact rewrite Catalyst applies to SQL
+    EXISTS.  The semi-join emits each order at most once (no post-join
+    distinct), and at scale shuffles both facts once on the orderkey.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
