@@ -258,3 +258,46 @@ def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").select("r_name")
     n = table(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "scale", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join, oracle-checked against the plain join.
+
+    The pattern for a hot join key at 100 TB (one orderkey holding a huge
+    slice of lineitem): the big probe side gets a deterministic salt in
+    [0, N), the build side is replicated N ways via explode, and the join key
+    becomes (key, salt) — the hot key's rows now land on N reducers instead
+    of one. Semantically identical to the unsalted join, which is exactly
+    what the oracle asserts. (AQE's skewedJoin does this adaptively at
+    runtime; the explicit form works when stats hide the skew, e.g. a salted
+    pre-aggregation feeding further stages.)
+    """
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)),
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

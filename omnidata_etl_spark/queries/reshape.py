@@ -200,3 +200,58 @@ def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+@query(
+    "etl_scd2_history",
+    oracle="""
+        SELECT o_custkey, o_orderstatus, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY valid_from, o_orderkey)
+                   AS valid_to
+        FROM (
+            SELECT o_custkey, o_orderstatus,
+                   o_orderdate AS valid_from, o_orderkey,
+                   LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)
+                       AS prev_status
+            FROM orders
+        )
+        WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    """,
+    tags=("etl", "window"),
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 builder: collapse each customer's
+    order-status timeline into change intervals [valid_from, valid_to), with
+    NULL valid_to on the current row.
+
+    Change detection is a lag() against the previous status; interval close
+    is a lead() over the surviving change rows. Both windows share the
+    partitioning on o_custkey, so the whole history build costs exactly one
+    shuffle — the standard way to snapshot a mutating dimension at scale
+    without a mutable store. Ties on o_orderdate are broken by o_orderkey in
+    both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    w_scan = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w_scan))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    w_close = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        F.lead("valid_from").over(w_close).alias("valid_to"),
+    )

@@ -118,3 +118,72 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@query("stream_foreachbatch_upsert", tags=("streaming", "sink"))
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert sink via foreachBatch — the streaming ETL pattern
+    for targets with no native streaming writer.
+
+    Two deterministic micro-batches (base events, then updates for every
+    event_id % 10 == 0 with a bumped ts and value=999); each batch MERGEs
+    into a versioned parquet target: union with the previous version, keep
+    the max-ts row per event_id, write a new version, atomically advance the
+    pointer. At scale the same closure targets a MERGE-capable store and the
+    per-batch dedup rides the event_id shuffle. Rows-only: the invariants
+    (row count == source count; exactly the %10 keys carry the update) are
+    asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql import Window
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    base = tempfile.mkdtemp(prefix="omnidata_febatch_")
+    src_dir, tgt_base = f"{base}/src", f"{base}/tgt"
+    raw.coalesce(1).write.parquet(f"{src_dir}/batch0")
+    updates = (
+        raw.where(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.lit(999.0))
+    )
+    updates.coalesce(1).write.parquet(f"{src_dir}/batch1")
+
+    state: dict[str, str | None] = {"path": None}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        cur = batch
+        if state["path"] is not None:
+            cur = batch.unionByName(batch.sparkSession.read.parquet(state["path"]))
+        w = Window.partitionBy("event_id").orderBy(F.desc("ts"))
+        latest = (
+            cur.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_path = f"{tgt_base}/v{batch_id}"
+        latest.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(state["path"])
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") == 999.0).cast("bigint")).alias("n_updated"),
+    )

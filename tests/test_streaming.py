@@ -48,3 +48,16 @@ def test_stream_append_withholds_unclosed_windows(spark, sf_dir):
     append_pdf = tumbling_stream(spark, sf_dir, output_mode="append").toPandas()
     complete_pdf = tumbling_stream(spark, sf_dir).toPandas()
     assert len(append_pdf) < len(complete_pdf)
+
+
+def test_foreachbatch_upsert_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.catalog import table
+
+    row = all_specs()["stream_foreachbatch_upsert"].fn(spark, sf_dir).collect()[0]
+    events = table(spark, sf_dir, "events")
+    n_src = events.count()
+    n_upd = events.where(F.col("event_id") % 10 == 0).count()
+    assert row["n_rows"] == n_src      # upsert never duplicates or drops keys
+    assert row["n_updated"] == n_upd   # exactly the %10 keys carry the update
