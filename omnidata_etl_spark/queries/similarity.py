@@ -196,89 +196,93 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def ivf_centroids(spark: SparkSession, emb: "DataFrame") -> "DataFrame":
-    """K-means centroids for an IVF index: deterministic init (first K by
-    vec_id), two Lloyd iterations. Assignment is a broadcast crossJoin +
-    per-vector argmin (K rows broadcast, one corpus scan per iteration);
-    the centroid update is a posexplode → (cluster, dim) mean — all
-    distributed. Only the K×dim centroid table itself passes through the
-    driver between iterations (standard k-means coordination; this is how
-    MLlib drives it too)."""
-    from pyspark.sql import Window
+IVF_TRAIN_SAMPLE = 4096  # quantizer-training sample rows (driver-side)
 
-    seeds = emb.orderBy("vec_id").limit(IVF_CLUSTERS).collect()
-    centroids = [
-        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)
-    ]
+
+def ivf_centroids(emb: "DataFrame"):
+    """K-means centroids for an IVF coarse quantizer, trained on a bounded
+    deterministic sample (first IVF_TRAIN_SAMPLE vectors by vec_id) on the
+    driver with numpy.
+
+    Training on a sample is the standard IVF recipe (a coarse quantizer
+    needs ~100× K training points, not the corpus): the 100 TB corpus never
+    participates in training — only the one bounded collect does — while
+    cell *assignment* of the full corpus stays distributed in the caller.
+    Deterministic init (first K sample rows), IVF_ITERS Lloyd steps; ties
+    in assignment break to the lowest cid (argmin keeps the first minimum).
+    Returns a K×dim float64 numpy array.
+    """
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    cents = x[:IVF_CLUSTERS].copy()
     for _ in range(IVF_ITERS):
-        cdf = spark.createDataFrame(centroids, "cid int, cvec array<double>")
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        assigned = (
-            emb.crossJoin(F.broadcast(cdf))
-            .withColumn("d", sq_dist(F.col("embedding"), F.col("cvec")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "embedding")
-        )
-        means = (
-            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select("cid", F.transform("pm", lambda s: s.m).alias("cvec"))
-            .collect()
-        )
-        centroids = [(r["cid"], list(r["cvec"])) for r in means]
-    return spark.createDataFrame(centroids, "cid int, cvec array<double>")
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for k in range(IVF_CLUSTERS):
+            members = x[assign == k]
+            if len(members):
+                cents[k] = members.mean(axis=0)
+    return cents
 
 
 @query("ann_ivf_topk", tags=("similarity", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer → assign corpus to
-    cells → probe the NPROBE cells nearest the query → exact cosine re-rank
-    inside the probed cells only. Rows-only (centroids are engine-derived).
+    """IVF approximate top-k: sample-trained k-means coarse quantizer →
+    assign corpus to cells → probe the NPROBE cells nearest the query →
+    exact cosine re-rank inside the probed cells only. Rows-only
+    (centroids are engine-derived).
 
-    Scale shape: the assigned corpus is written `partitionBy(cid)`; a query
-    reads NPROBE/K of the data — IVF as Spark partitioning, the same layout
-    trick as ann_lsh_topk but with data-adaptive cells.
+    Scale shape: training touches only a bounded sample (see ivf_centroids);
+    corpus assignment is one scan — broadcast the K centroids, per-vector
+    argmin via min_by under a hash aggregate (partial agg map-side, no
+    window sort). The probe-cell choice is K driver-side distance evals
+    against the already-collected query vector, so the only distributed
+    work after assignment is the cosine re-rank over NPROBE/K of the data.
+    In a served index the assigned corpus is written `partitionBy(cid)` —
+    IVF as Spark partitioning, the same layout trick as ann_lsh_topk but
+    with data-adaptive cells.
     """
-    from pyspark.sql import Window
+    import numpy as np
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(spark, emb)
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    cents_np = ivf_centroids(emb)
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents_np)],
+        "cid int, cvec array<double>",
+    )
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][
+            "embedding"
+        ],
+        dtype=np.float64,
+    )
+    probe = np.argsort(
+        ((cents_np - qv) ** 2).sum(axis=1), kind="stable"
+    )[:IVF_NPROBE].tolist()
     assigned = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("d", sq_dist(F.col("embedding"), F.col("cvec")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "embedding")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "embedding"), F.struct("d", "cid")
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.cid").alias("cid"),
+                F.col("best.embedding").alias("embedding"))
     )
-    probe_cells = (
-        assigned.filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .crossJoin(cents)
-        .withColumn("d", sq_dist(F.col("embedding"), F.col("cvec")))
-        .orderBy("d")
-        .limit(IVF_NPROBE)
-        .select("cid")
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
-    )
-    cand = (
-        assigned.join(F.broadcast(probe_cells), "cid")
-        .filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-    )
-    cos = F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+    qe = F.array(*[F.lit(float(v)) for v in qv])
+    cos = F.round(cosine(F.col("embedding"), qe), 4)
     return (
-        cand.select("vec_id", cos.alias("cosine"))
+        assigned.filter(F.col("cid").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
