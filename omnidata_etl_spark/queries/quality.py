@@ -1,0 +1,129 @@
+"""Data-profiling and data-quality operators (EXT provenance).
+
+The reference's only profiling surface is the 10-row upload preview
+(/root/reference backend/index.js:96-102); a real ETL engine needs column
+profiles and declared-constraint checks before committing a load, and a
+training-data pipeline needs seeded sampling. All three are single-scan
+shapes: profiles and violation counts are one pass of partial aggregates
+(no shuffle beyond the final 1-row combine), and the stratified sample is a
+per-row Bernoulli filter with a deterministic seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.registry import query
+
+
+@query(
+    "profile_table",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(DISTINCT o_orderstatus) AS n_statuses,
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                   AS null_priority,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders
+    """,
+    tags=("quality", "profile", "agg"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of `orders` in one scan: row count, cardinalities,
+    null count, min/max per column family. min/max of raw doubles and
+    timestamps are exact on both engines (no arithmetic, no rounding).
+    At scale this is the pre-load profiling pass — one job, partial
+    aggregates map-side, a single combined row out."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.sum(F.col("o_orderpriority").isNull().cast("bigint")).alias(
+            "null_priority"
+        ),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@query(
+    "dq_violations",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+                AS orphan_orders,
+            (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS nonpositive_qty,
+            (SELECT COUNT(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 0.1)
+                AS discount_out_of_range,
+            (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+                AS null_orderdate
+    """,
+    tags=("quality", "dq", "join"),
+)
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-constraint violation counts in one summary row: referential
+    integrity (orders → customer orphans via anti join), range checks, and
+    null checks. The load-gate shape: run before committing a table, abort
+    when any count is nonzero (the reference aborts a whole load on one bad
+    cast — backend/index.js:240; this generalizes that to declarative rules).
+
+    The anti join broadcasts the customer key column; the range/null checks
+    are conditional partial aggregates on their own scans; the four 1-row
+    aggregates cross-join into one row (no data shuffle anywhere)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    li_checks = li.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias(
+            "nonpositive_qty"
+        ),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "bigint"
+            )
+        ).alias("discount_out_of_range"),
+    )
+    o_checks = o.agg(
+        F.sum(F.col("o_orderdate").isNull().cast("bigint")).alias(
+            "null_orderdate"
+        )
+    )
+    return orphans.crossJoin(li_checks).crossJoin(o_checks)
+
+
+@query("sample_stratified", tags=("quality", "sample"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample of `documents` — equalize language skew by
+    sampling each lang at its own fraction (the training-data mixing
+    primitive). `sampleBy` is a per-row Bernoulli coin flip keyed by a fixed
+    seed: one scan, no shuffle, and the same rows on every run over the same
+    partitioning (determinism asserted in tests/test_quality.py). Rows-only:
+    the sampling hash is engine-specific. Returns per-lang kept counts."""
+    docs = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+    return (
+        docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

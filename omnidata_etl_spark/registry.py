@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "omnidata_etl_spark.queries.similarity",
     "omnidata_etl_spark.queries.multimodal",
     "omnidata_etl_spark.queries.streaming",
+    "omnidata_etl_spark.queries.quality",
 )
 
 
