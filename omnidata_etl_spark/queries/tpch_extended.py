@@ -1,0 +1,538 @@
+"""Remaining TPC-H query shapes expressible on the driver's star schema
+(EXT provenance — SURVEY.md §2B north-star relational surface).
+
+The synthetic tables omit some canonical columns (no partsupp table; lineitem
+lacks l_shipmode/l_commitdate/l_receiptdate; part lacks p_container; customer
+lacks c_phone), so each query keeps the CANONICAL STRUCTURE — the join
+topology, subquery shape, and aggregation pattern that make the query a
+distinct optimizer/execution exercise — with predicates adapted to columns
+that exist (each docstring notes the substitution). Q2/Q9/Q11/Q16/Q20 need
+partsupp and are deliberately out of scope.
+
+Determinism discipline throughout (SURVEY.md §7.3): money arithmetic in
+DECIMAL(18,2) from raw columns, final cast to DOUBLE, aliased aggregates,
+unique-key tiebreaks on every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.registry import query
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _revenue():
+    return dec2("l_extendedprice") * (1 - dec2("l_discount"))
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   {_REV} AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Two roles of the same `nation` dim (supplier-side and customer-side),
+    a disjunctive cross-nation predicate, and a year() rollup.
+
+    Plan: both nation copies broadcast; the nation-pair filter applies
+    map-side after the dim joins, before the groupBy shuffle. The fact-fact
+    joins (lineitem-orders-customer) shuffle on their keys; at cluster scale
+    AQE turns them into sort-merge with coalesced partitions."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_REV} AS volume,
+                   n2.n_name AS supp_nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region    ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+              AND p_type = 'STANDARD'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, by order year. 8-way join with `nation` playing two roles
+    (customer-region membership and supplier attribution) and a conditional
+    share ratio. Canonical p_type 'ECONOMY ANODIZED STEEL' → the synthetic
+    vocabulary's 'STANDARD'.
+
+    Plan: part/supplier/nation/region broadcast (all small); lineitem-orders
+    -customer shuffle on their equi-keys. The CASE keeps decimal branches so
+    both sums are exact before the one double division."""
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue()
+    share_num = F.when(
+        F.col("supp_nation") == "NATION_1", vol
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(share_num).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q12_late_lines",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix of late shipments per category.
+    Substitutions for missing columns: l_shipmode → l_returnflag as the
+    grouping category; the commit/receipt lateness predicate → shipped more
+    than 90 days after order date (non-equi conjunct on the join).
+
+    Plan: one orderkey shuffle join; the interval predicate is evaluated as
+    a post-join filter (it references both sides); the conditional counts
+    are integer (exact, order-independent)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                             AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — a LEFT
+    join with a filter INSIDE the join condition (customers with zero
+    qualifying orders must survive with count 0), then a second aggregation
+    over the first. Canonical o_comment NOT LIKE filter → an o_orderpriority
+    exclusion (the column that exists).
+
+    Plan: custkey shuffle join, custkey-partial count, then a tiny second
+    shuffle on c_count. COUNT(o_orderkey) (not COUNT(*)) so null-extended
+    rows count as zero, matching SQL semantics exactly."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH revenue0 AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM({_REV}) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier
+        JOIN revenue0 ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    an aggregate-of-aggregate scalar subquery over a derived view.
+
+    The max comparison happens in DECIMAL (exact) and only the output is
+    cast to double, so ties and the winner are engine-independent.
+
+    Plan: one suppkey shuffle builds revenue0; the scalar MAX is a tiny
+    single-row aggregate broadcast back (cross-join of a 1-row frame), so
+    revenue0 is computed once and reused — no second scan of lineitem."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("total_revenue_dec")
+    )
+    max_rev = revenue0.agg(F.max("total_revenue_dec").alias("max_rev"))
+    return (
+        revenue0.join(F.broadcast(max_rev))
+        .where(F.col("total_revenue_dec") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (
+            SELECT l_partkey AS agg_partkey,
+                   CAST(SUM(l_quantity) AS DOUBLE)
+                   / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+            FROM lineitem
+            GROUP BY l_partkey
+        ) part_agg ON agg_partkey = l_partkey
+        WHERE p_brand = 'Brand#11'
+          AND p_type = 'SMALL'
+          AND l_quantity < 0.2 * avg_qty
+    """,
+    tags=("tpch", "subquery", "join", "agg"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a correlated
+    per-part average subquery, decorrelated (in both engines) into a join
+    against a grouped aggregate. Canonical p_container → p_type (the column
+    that exists). l_quantity values are small exact integers in doubles, so
+    SUM/COUNT are order-independent and 0.2*avg is bit-identical.
+
+    Plan: the per-part average reuses lineitem's partkey shuffle; part is a
+    broadcast dim; the final global sum is partial/final with no groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL")
+    )
+    part_agg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (
+            F.sum("l_quantity").cast("double")
+            / F.count("l_quantity").cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_agg, F.col("agg_partkey") == li.l_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec2("l_extendedprice")).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+        SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("tpch", "join", "filter", "agg"),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of three brand/size/quantity conjunct
+    groups across the join — the classic OR-of-ANDs predicate the optimizer
+    must NOT turn into a cross product. Canonical p_container/l_shipmode
+    conjuncts → p_size ranges (the column that exists).
+
+    Plan: part broadcasts; Catalyst extracts the common p_partkey equi-key
+    so the disjunction evaluates as a post-join filter, and pushes the
+    derived `p_brand IN (...)` / size bounds into the part-side scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND s_nationkey = n_nationkey
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate >= l1.l_shipdate
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    tags=("tpch", "subquery", "join", "agg"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who single-handedly held up multi-supplier
+    finalized orders — EXISTS plus NOT EXISTS over the same fact table with
+    inequality correlation. Canonical receipt-vs-commit lateness → "shipped
+    strictly after every other supplier's lines in the order" (shipdate is
+    the date column that exists).
+
+    Plan: both correlated subqueries become orderkey-keyed semi/anti joins
+    with the non-equi conjuncts evaluated inside the join; all three
+    lineitem legs shuffle on l_orderkey so AQE lines them up on one
+    exchange; supplier/nation broadcast at the end."""
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey"))
+            & (F.col("l3_shipdate") >= F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+        SELECT cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM (
+            SELECT c_nationkey AS cntry, c_acctbal, c_custkey
+            FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+              AND c_acctbal > (
+                  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  FROM customer
+                  WHERE c_acctbal > 0.0
+                    AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              )
+        ) custsale
+        GROUP BY cntry
+    """,
+    tags=("tpch", "subquery", "join", "agg"),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers in selected countries who have
+    never ordered — an uncorrelated scalar-average subquery plus NOT EXISTS.
+    Canonical substring(c_phone) country code → c_nationkey (no phone
+    column). The average is exact-decimal-sum ÷ count per the parity rules.
+
+    Plan: the scalar average is a 1-row broadcast; NOT EXISTS is a custkey
+    anti join against orders (orders side reduced to its join key by column
+    pruning); final tiny groupBy on nationkey."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    c = table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
+    o = table(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec2("c_acctbal")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

@@ -32,6 +32,7 @@ _QUERY_MODULES = (
     "omnidata_etl_spark.queries.setops",
     "omnidata_etl_spark.queries.reshape",
     "omnidata_etl_spark.queries.tpch",
+    "omnidata_etl_spark.queries.tpch_extended",
     "omnidata_etl_spark.queries.subqueries",
     "omnidata_etl_spark.queries.scalar_fns",
     "omnidata_etl_spark.queries.events",
