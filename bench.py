@@ -30,6 +30,8 @@ TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 SKIP = {
     "stream_structured_demo",
     "stream_stateful_user_totals",
+    "stream_dedup_watermark",
+    "stream_foreachbatch_upsert",
     "sink_errorifexists",
 }
 

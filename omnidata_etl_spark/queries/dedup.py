@@ -220,6 +220,93 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.alias("simhash64"))
 
 
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes`` is a one-column (doc_id) frame, ``pairs`` an undirected edge
+    list (doc_a, doc_b). Each round every node takes the min of its own
+    label and its neighbours' labels; converges in O(component diameter)
+    rounds (dup clusters are shallow: pairs/triples). The symmetrized edge
+    list is persisted once so each round is two cheap joins of a
+    (node, label) frame, and labels are localCheckpoint()ed per round to
+    truncate the growing lineage — the standard Spark formulation of
+    large-scale connected components (cf. large-star/small-star, which this
+    loop upgrades to if diameters grow). Returns (doc_id, label) with
+    label = min node id of the component.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    try:
+        labels = nodes.select(
+            "doc_id", F.col("doc_id").alias("label")
+        ).localCheckpoint()
+        for _ in range(max_rounds):
+            nbr = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.doc_id == nbr.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+@query("dedup_cluster_canonical", tags=("dedup", "graph"))
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the near-dup
+    pair graph, labelling every document with the min doc_id of its cluster
+    (the canonical copy a corpus-dedup pipeline would keep; non-canonical
+    rows are the removal set). Rows-only — pairs come from the MinHash
+    family (SURVEY.md §7.3 #5); the component logic itself is unit-tested
+    on planted chain graphs (tests/test_dedup.py).
+
+    Output: one row per document, (doc_id, canonical_id, is_canonical);
+    singletons are their own canonical.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    shingle_sets = _shingle_sets(spark, sf_dir, n=5)
+    sigs = minhash_signatures(shingle_sets)
+    cands = lsh_candidate_pairs(sigs)
+    pairs = exact_jaccard(cands, shingle_sets).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    labels = connected_components(docs, pairs)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("canonical_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     tags=("dedup", "ngram"),

@@ -188,3 +188,62 @@ def stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@query(
+    "events_funnel_counts",
+    oracle="""
+        SELECT CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT)
+                   AS n_signup,
+               CAST(COUNT(*) FILTER (WHERE t_view >= t_signup) AS BIGINT)
+                   AS n_viewed,
+               CAST(COUNT(*) FILTER (WHERE t_click >= t_view
+                                       AND t_view >= t_signup) AS BIGINT)
+                   AS n_clicked,
+               CAST(COUNT(*) FILTER (WHERE t_purchase >= t_click
+                                       AND t_click >= t_view
+                                       AND t_view >= t_signup) AS BIGINT)
+                   AS n_purchased
+        FROM (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_purchase
+            FROM events
+            GROUP BY user_id
+        ) stages
+    """,
+    tags=("events", "agg"),
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: users
+    whose first occurrence of each stage respects the stage order. The
+    classic product-analytics operator, expressed as one conditional-MIN
+    pivot per user plus ordered-timestamp predicates — a single user_id
+    shuffle, no joins, no sessionization state.
+
+    NULL semantics carry the funnel logic: a user missing a stage has a NULL
+    min, every >= against NULL is false, and FILTER/when counts skip them
+    identically on both engines. ts comparisons are safe because stage
+    ordering is µs-resolution at worst (SURVEY.md §7.3 #7 only bans raw ts
+    OUTPUT, not internal comparisons)."""
+    ev = table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    sign = F.col("t_signup").isNotNull()
+    view = F.col("t_view") >= F.col("t_signup")
+    click = (F.col("t_click") >= F.col("t_view")) & view
+    buy = (F.col("t_purchase") >= F.col("t_click")) & click
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return stages.agg(
+        cnt(sign).alias("n_signup"),
+        cnt(view).alias("n_viewed"),
+        cnt(click).alias("n_clicked"),
+        cnt(buy).alias("n_purchased"),
+    )

@@ -187,3 +187,49 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum((F.col("value") == 999.0).cast("bigint")).alias("n_updated"),
     )
+
+
+@query("stream_dedup_watermark", tags=("streaming", "dedup"))
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the same events file is fed as two
+    consecutive micro-batches (every row a cross-batch duplicate) and
+    `dropDuplicatesWithinWatermark` on event_id emits each event exactly
+    once — the streaming counterpart of `stream_dedup_latest`, with state
+    bounded by the watermark instead of growing forever (the property that
+    makes it viable on an unbounded 100 TB/day feed; plain dropDuplicates
+    would accrete state per key indefinitely).
+
+    Rows-only; tests assert the emitted counts equal the batch per-type
+    counts of the distinct-event_id set (tests/test_streaming.py).
+    """
+    src_file = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src_file).schema
+    stream_dir = tempfile.mkdtemp(prefix="omnidata_stream_dup_")
+    os.symlink(src_file, os.path.join(stream_dir, "events_a.parquet"))
+    os.symlink(src_file, os.path.join(stream_dir, "events_b.parquet"))
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    qname = f"omnidata_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )

@@ -285,3 +285,41 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum(tok_len).cast("double") / F.count("*")).alias("avg_token_len"),
     )
+
+
+@query(
+    "text_doc_frequency",
+    oracle="""
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        )
+        GROUP BY word
+        ORDER BY df DESC, word ASC
+        LIMIT 20
+    """,
+    tags=("text",),
+)
+def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per word (the DF half of TF-IDF): number of
+    distinct documents containing each token, top-20 (tie-broken by word).
+    IDF itself is deliberately not emitted — log() bit-patterns are libm-
+    dependent across engines; downstream consumers divide/log on their side.
+
+    Plan: array_distinct before explode does per-doc dedup map-side, so the
+    shuffle carries each (doc, word) once — the scale path for 100 TB corpora
+    (no COUNT(DISTINCT doc_id) re-shuffle; the count is a plain SUM)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), " "))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(20)
+    )

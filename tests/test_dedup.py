@@ -76,3 +76,35 @@ def test_simhash_similar_docs_have_close_fingerprints(spark, sf_dir):
     }
     for r in rows:
         assert again[r["doc_id"]] == r["simhash64"]
+
+
+def test_connected_components_chain(spark):
+    # Chain 1-2-3-4 needs multiple propagation rounds; 5-6 is a separate
+    # pair; 7 is a singleton.
+    from omnidata_etl_spark.queries.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["label"] for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_cluster_canonical_consistent_with_pairs(spark, sf_dir):
+    from omnidata_etl_spark.queries.dedup import (
+        dedup_cluster_canonical,
+        dedup_near_minhash,
+    )
+
+    assign = dedup_cluster_canonical(spark, sf_dir)
+    rows = assign.collect()
+    lab = {r["doc_id"]: r["canonical_id"] for r in rows}
+    # every doc labelled once; canonical is the component min (<= doc_id)
+    assert len(lab) == len(rows)
+    assert all(c <= d for d, c in lab.items())
+    # canonical ids are themselves canonical
+    assert all(lab[c] == c for c in set(lab.values()))
+    # every near-dup pair landed in one cluster
+    for r in dedup_near_minhash(spark, sf_dir).collect():
+        assert lab[r["doc_a"]] == lab[r["doc_b"]]

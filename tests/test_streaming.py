@@ -3,6 +3,8 @@ equal the batch equivalent; append mode demonstrates watermark withholding."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from omnidata_etl_spark.queries.streaming import tumbling_stream
 from omnidata_etl_spark.registry import all_specs
 from tests.oracle_util import canonical
@@ -61,3 +63,22 @@ def test_foreachbatch_upsert_invariants(spark, sf_dir):
     n_upd = events.where(F.col("event_id") % 10 == 0).count()
     assert row["n_rows"] == n_src      # upsert never duplicates or drops keys
     assert row["n_updated"] == n_upd   # exactly the %10 keys carry the update
+
+
+def test_stream_dedup_watermark_equals_batch_distinct(spark, sf_dir):
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.streaming import stream_dedup_watermark
+
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in stream_dedup_watermark(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
