@@ -119,3 +119,43 @@ def test_pricing_summary_partial_agg(spark, sf_dir):
     # map-side partial aggregation before the shuffle (two HashAggregates)
     plan = _plan(spark, sf_dir, "agg_pricing_summary")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q7_broadcasts_both_nation_roles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation x2
+    # shipdate range reaches the lineitem scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q8_dims_broadcast_facts_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q8_market_share")
+    # part, supplier, nation x2, region all broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the p_type filter prunes the part scan, not post-join
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_type" in l for l in pushed)
+
+
+def test_q15_scan_budget_and_pushdown(spark, sf_dir):
+    """revenue0 feeds both the scalar MAX and the join, so lineitem appears
+    at most twice (once per branch; formatted explain prints every node
+    twice — tree + details — hence the x2 on counts) and BOTH scans carry
+    the pushed quarter filter, so neither branch reads beyond the quarter."""
+    plan = _plan(spark, sf_dir, "tpch_q15_top_supplier")
+    assert plan.count("Scan parquet") <= 2 * 3  # lineitem x2 + supplier
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert len(pushed) >= 2
+
+
+def test_q19_extracts_common_equi_key(spark, sf_dir):
+    """OR-of-ANDs must still plan as an equi join on p_partkey (hash or
+    broadcast), never a nested-loop cross product."""
+    plan = _plan(spark, sf_dir, "tpch_q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_semi_anti_share_orderkey(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
