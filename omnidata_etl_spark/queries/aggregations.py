@@ -217,3 +217,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_custs"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "agg_arg_extremes",
+    oracle="""
+        SELECT o_orderstatus,
+               arg_max(o_orderkey,
+                       CAST(o_totalprice AS DECIMAL(18,2)) * 1000000
+                       + o_orderkey) AS max_price_orderkey,
+               arg_min(o_orderkey,
+                       CAST(o_totalprice AS DECIMAL(18,2)) * 1000000
+                       + o_orderkey) AS min_price_orderkey,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_price,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS min_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extreme aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min):
+    which order carries each status's highest/lowest price — the one-pass
+    alternative to a rank-window + filter (no second shuffle, no sort).
+
+    Determinism: prices tie across orders, and tie-breaking inside
+    max_by/arg_max is engine-defined — so the ordering value is the exact
+    decimal price scaled and offset by the unique orderkey
+    (price_cents·10⁴ + key), making the argmax unique on both engines."""
+    o = table(spark, sf_dir, "orders")
+    ordval = dec2("o_totalprice") * 1000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", ordval).alias("max_price_orderkey"),
+        F.min_by("o_orderkey", ordval).alias("min_price_orderkey"),
+        F.max(dec2("o_totalprice")).cast("double").alias("max_price"),
+        F.min(dec2("o_totalprice")).cast("double").alias("min_price"),
+    )

@@ -247,3 +247,54 @@ def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(click).alias("n_clicked"),
         cnt(buy).alias("n_purchased"),
     )
+
+
+@query(
+    "events_weekly_retention",
+    oracle="""
+        WITH weeks AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week_start
+            FROM events
+        )
+        SELECT a.week_start,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(COUNT(b.user_id) AS BIGINT) AS n_retained
+        FROM weeks a
+        LEFT JOIN weeks b
+          ON a.user_id = b.user_id
+         AND b.week_start = a.week_start + 7
+        GROUP BY a.week_start
+    """,
+    tags=("events", "join", "agg"),
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention cohort: per ISO week, users active that week
+    and still active the next — the standard growth-analytics operator.
+
+    Formulated as distinct (user, week) → self left-join shifted by 7 days →
+    conditional count. date_trunc('week') lands on Monday midnight in both
+    engines and is cast to DATE before output (ns/µs parity, SURVEY.md
+    §7.3 #7). The distinct and the join share the user_id-keyed shuffle;
+    retained = COUNT(matched user_id) under left-join null semantics."""
+    ev = table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).distinct()
+    nxt = weeks.select(
+        F.col("user_id").alias("n_user"),
+        F.date_sub("week_start", 7).alias("n_week"),
+    )
+    return (
+        weeks.join(
+            nxt,
+            (weeks.user_id == F.col("n_user"))
+            & (weeks.week_start == F.col("n_week")),
+            "left",
+        )
+        .groupBy("week_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.count("n_user").cast("bigint").alias("n_retained"),
+        )
+    )

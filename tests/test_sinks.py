@@ -28,3 +28,22 @@ def test_sink_partitioned_counts_match_source(spark, sf_dir):
         .collect()
     }
     assert result == expected and set(result) == {"en", "de"}
+
+
+def test_compaction_conserves_rows_and_shrinks_files(spark, sf_dir):
+    row = all_specs()["etl_compact_small_files"].fn(spark, sf_dir).collect()[0]
+    assert row["files_before"] == 64
+    assert row["files_after"] == 4
+    assert row["rows_before"] == row["rows_after"]
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert row["rows_after"] == n_docs
+
+
+def test_orc_roundtrip_matches_csv(spark, sf_dir):
+    from omnidata_etl_spark.ingest.fixtures import fixture_path
+    from omnidata_etl_spark.ingest.readers import read_any
+
+    orc = all_specs()["ingest_orc"].fn(spark, sf_dir)
+    csv = read_any(spark, fixture_path("people_comma.csv"))
+    assert orc.schema == csv.schema
+    assert sorted(map(tuple, orc.collect())) == sorted(map(tuple, csv.collect()))
