@@ -255,3 +255,52 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dec2("o_totalprice")).cast("double").alias("max_price"),
         F.min(dec2("o_totalprice")).cast("double").alias("min_price"),
     )
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(n AS BIGINT) AS n_orders,
+               (CAST(sumsq AS DOUBLE)
+                - CAST(sumx AS DOUBLE) * CAST(sumx AS DOUBLE) / n)
+               / (n - 1) AS var_price,
+               sqrt((CAST(sumsq AS DOUBLE)
+                     - CAST(sumx AS DOUBLE) * CAST(sumx AS DOUBLE) / n)
+                    / (n - 1)) AS stddev_price
+        FROM (
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sumx,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                       * CAST(o_totalprice AS DECIMAL(18,2))) AS sumsq
+            FROM orders GROUP BY o_orderstatus
+        ) moments
+    """,
+    tags=("agg", "stats"),
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from EXACT decimal moments — never the
+    engines' native STDDEV (their running/pairwise double accumulations are
+    summation-order-dependent, so two engines — or two partitionings of the
+    same engine — disagree in the last bits). Σx and Σx² are decimal (2dp
+    values ⇒ x² is exact 4dp), so every partition order yields the same
+    sums; the variance formula is then one fixed tree of double ops,
+    bit-identical everywhere. The same trick is the 100 TB answer to
+    deterministic metrics across rerun/re-partitioned jobs."""
+    o = table(spark, sf_dir, "orders")
+    x = dec2("o_totalprice")
+    moments = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sumx"),
+        F.sum(x * x).alias("sumsq"),
+    )
+    var = (
+        F.col("sumsq").cast("double")
+        - F.col("sumx").cast("double") * F.col("sumx").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return moments.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n_orders"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+    )

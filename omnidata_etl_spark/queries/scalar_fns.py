@@ -240,3 +240,28 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(sq).cast("double").alias("max_sq"),
         F.exists("embedding", lambda x: x > F.lit(2.0)).alias("has_large"),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(event_type AS DOUBLE) AS bad_num,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        FROM events
+    """,
+    tags=("scalar", "cast"),
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive casting: TRY_CAST yields NULL on malformed input instead
+    of aborting — the per-expression escape hatch from the engine's global
+    ANSI strict-cast mode (reference rollback semantics, SURVEY.md §1.2).
+    Strict by default, permissive where declared."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(event_type AS DOUBLE)").alias("bad_num"),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS INT)"
+        ).alias("k_int"),
+    )

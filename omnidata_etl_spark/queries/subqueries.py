@@ -123,3 +123,37 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@query(
+    "subquery_lateral_topn",
+    oracle="""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+    """,
+    tags=("subquery", "lateral"),
+)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each nation's two richest customers.
+    Catalyst decorrelates the lateral top-1-per-group into a DomainJoin →
+    window/limit per key — the same physical work as window_rank_topn, but
+    exercising the planner's lateral-subquery path (an optimizer feature a
+    reference user migrating SQL will hit). Tie-broken by c_custkey."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM v_nation n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal FROM v_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+    """)
