@@ -31,6 +31,7 @@ SKIP = {
     "stream_structured_demo",
     "stream_stateful_user_totals",
     "stream_dedup_watermark",
+    "stream_static_join",
     "stream_foreachbatch_upsert",
     "sink_errorifexists",
 }

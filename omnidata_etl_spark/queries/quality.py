@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import dec2
 from omnidata_etl_spark.registry import query
 
 
@@ -126,4 +127,49 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.sampleBy("lang", fractions, seed=42)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@query(
+    "etl_observed_metrics",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bulk,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+    """,
+    tags=("quality", "observability"),
+)
+def etl_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: metrics ride the
+    SAME job that does the work (here: a parquet write), costing zero extra
+    scans — vs profile_table, which is a dedicated metrics pass. The
+    pattern every production load should ship with: row counts / quality
+    tallies / control totals observed on the write, then asserted or
+    logged. Metrics are exact (decimal revenue), so the observed values
+    hash-match the oracle's standalone aggregation."""
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("load_metrics")
+    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") > 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bulk"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
+    out = tempfile.mkdtemp(prefix="omnidata_observed_") + "/lineitem"
+    observed.write.mode("overwrite").parquet(out)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_bulk"], m["revenue"])],
+        "n_rows long, n_bulk long, revenue double",
     )

@@ -265,3 +265,26 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_cast(get_json_object(props, '$.k') AS INT)"
         ).alias("k_int"),
     )
+
+
+@query(
+    "fn_json_variant",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        FROM events
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via VariantType (Spark 4): parse the JSON
+    string once into the binary variant encoding, then typed-path extract.
+    Same result as `fn_json_extract`'s per-access string parse, but the
+    variant parse happens once per row and every subsequent `variant_get`
+    is a binary walk — the scale answer for wide JSON with many accessed
+    keys (open schemas where from_json's fixed struct can't be declared)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k_int"),
+    )

@@ -233,3 +233,33 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
+
+
+@query("stream_static_join", tags=("streaming", "join"))
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events feed enriched against a
+    static dimension (user → tier) before a windowed-style aggregate — the
+    canonical streaming-ETL enrichment. The static side is broadcast into
+    every micro-batch (re-read per batch if it changes on disk; here it is
+    deterministic: tier = user_id mod 3). Rows-only; tests assert equality
+    with the identical batch join."""
+    src = _event_stream(spark, sf_dir)
+    users = spark.range(0, 10000).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("tier_"), (F.col("id") % 3).cast("string")).alias("tier"),
+    )
+    joined = src.join(F.broadcast(users), "user_id").groupBy("tier").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    qname = f"omnidata_ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

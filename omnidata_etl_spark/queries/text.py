@@ -323,3 +323,42 @@ def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("word"))
         .limit(20)
     )
+
+
+@query(
+    "udtf_chunk_documents",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(toks[i*5+1 : i*5+5], ' ') AS chunk
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             LATERAL (SELECT unnest(range((len(toks) + 4) // 5)) AS i) g
+    """,
+    tags=("text", "udtf"),
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size context chunking (5-token windows, the LLM-pretraining
+    sharding primitive) as a Python UDTF — the engine's user-extensible
+    table function surface (the reference has none; SURVEY.md §2B declares
+    the built-in surface and this is its extension point). One doc fans out
+    to ceil(n_tokens/5) rows; the UDTF runs row-at-a-time Python, so the
+    100 TB path for THIS op is the pure-SQL equivalent in the oracle (or an
+    Arrow-batched mapInPandas) — declared here deliberately to document the
+    trade: UDTF for expressiveness, expressions for throughput."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range((len(toks) + 4) // 5):
+                yield i, " ".join(toks[i * 5 : i * 5 + 5])
+
+    spark.udtf.register("omnidata_chunk_doc", ChunkDoc)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM v_documents d, LATERAL omnidata_chunk_doc(d.text) c
+        """
+    )

@@ -82,3 +82,25 @@ def test_stream_dedup_watermark_equals_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.streaming import stream_static_join
+
+    got = {
+        r["tier"]: r["n_events"]
+        for r in stream_static_join(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    want = {
+        r["tier"]: r["n"]
+        for r in ev.withColumn(
+            "tier",
+            F.concat(F.lit("tier_"), (F.col("user_id") % 3).cast("string")),
+        )
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
