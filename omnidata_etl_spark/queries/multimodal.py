@@ -196,3 +196,46 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_mean_byte"),
     )
+
+
+@query(
+    "grouped_minmax_scale",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN vmax = vmin THEN 0.5
+                    ELSE (value - vmin) / (vmax - vmin) END AS scaled
+        FROM (
+            SELECT event_id, value,
+                   MIN(value) OVER (PARTITION BY user_id) AS vmin,
+                   MAX(value) OVER (PARTITION BY user_id) AS vmax
+            FROM events
+        ) e
+    """,
+    tags=("udf", "pandas", "ml"),
+)
+def grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user min-max feature scaling via grouped `applyInPandas` — the
+    batch UDAF extension surface (one Arrow batch per group, vectorized
+    numpy inside). Min/max are exact over 2dp values and the per-row
+    division is a fixed double op, so even a Python implementation
+    hash-matches the pure-SQL window oracle — chosen deliberately so the
+    extension surface itself is oracle-gated, not just rows-checked.
+    At 100 TB the same pipeline stays: groups shuffle once on user_id and
+    each group must fit one worker's memory (the applyInPandas contract;
+    for giant groups fall back to the window-expression form the oracle
+    uses)."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        vmin, vmax = pdf["value"].min(), pdf["value"].max()
+        if vmax == vmin:
+            scaled = pd.Series(0.5, index=pdf.index)
+        else:
+            scaled = (pdf["value"] - vmin) / (vmax - vmin)
+        return pd.DataFrame({"event_id": pdf["event_id"], "scaled": scaled})
+
+    return ev.groupBy("user_id").applyInPandas(
+        scale, schema="event_id long, scaled double"
+    )

@@ -187,3 +187,37 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", "o_orderstatus", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+        SELECT event_id,
+               LAST_VALUE(good_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type <> 'error' THEN value END AS good_value
+            FROM events
+        ) e
+    """,
+    tags=("window", "nulls"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill via IGNORE NULLS: carry the last non-error reading forward
+    per user (error rows contribute NULL and inherit the previous good
+    value) — the standard sensor/telemetry forward-fill, one window pass,
+    no self-join. Ordered by (ts, event_id) for a total order."""
+    ev = table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -31,6 +31,8 @@ PROBE_QUERIES = (
     "join_theta_range",
     "window_rank_topn",
     "stream_sessionize",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
 )
 KEY_OFFSET = 10_000_000_000
 
