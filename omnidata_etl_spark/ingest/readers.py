@@ -39,7 +39,11 @@ def sniff_delimiter(first_line: str) -> str:
 
 
 def _first_line(path: str) -> str:
-    with open(path, encoding="utf-8") as f:
+    import gzip
+
+    # Compressed text sniffs the same way Spark reads it: through the codec.
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, mode="rt", encoding="utf-8") as f:
         for line in f:
             if line.strip():
                 return line.rstrip("\n")

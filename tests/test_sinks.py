@@ -47,3 +47,34 @@ def test_orc_roundtrip_matches_csv(spark, sf_dir):
     csv = read_any(spark, fixture_path("people_comma.csv"))
     assert orc.schema == csv.schema
     assert sorted(map(tuple, orc.collect())) == sorted(map(tuple, csv.collect()))
+
+
+def test_dynamic_partition_overwrite_touches_only_target(spark, sf_dir):
+    got = {
+        r["lang"]: r["n_docs"]
+        for r in all_specs()["sink_dynamic_partition_overwrite"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    docs = table(spark, sf_dir, "documents")
+    want = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_en_redo = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
+    ).count()
+    for lang, n in want.items():
+        if lang == "en":
+            assert got[lang] == n_en_redo  # only en replaced
+        else:
+            assert got[lang] == n  # siblings untouched
+
+
+def test_gzip_ingest_matches_plain_csv(spark, sf_dir):
+    from omnidata_etl_spark.ingest.fixtures import fixture_path
+    from omnidata_etl_spark.ingest.readers import read_any
+
+    gz = all_specs()["ingest_csv_gzip"].fn(spark, sf_dir)
+    csv = read_any(spark, fixture_path("people_comma.csv"))
+    assert sorted(map(tuple, gz.collect())) == sorted(map(tuple, csv.collect()))

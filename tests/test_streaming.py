@@ -104,3 +104,48 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_resume_processes_each_file_once(spark, sf_dir, tmp_path):
+    """Exactly-once across restart: a stream with a checkpointLocation is
+    run to completion, stopped, a new file arrives, and the RESTARTED query
+    (same checkpoint) must process only the new file — the recovery
+    contract a production pipeline leans on after executor/driver loss."""
+    import shutil
+
+    from omnidata_etl_spark.catalog import table
+
+    src_dir = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out: list[int] = []
+    src_dir.mkdir()
+
+    ev = table(spark, sf_dir, "events")
+    batch0 = ev.filter(F.col("event_id") % 2 == 0)
+    batch1 = ev.filter(F.col("event_id") % 2 == 1)
+    batch0.coalesce(1).write.parquet(str(src_dir / "b0"))
+
+    def run_until_drained():
+        seen: list[int] = []
+        stream = (
+            spark.readStream.schema(batch0.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        q = stream.writeStream.foreachBatch(
+            lambda df, _bid: seen.append(df.count())
+        ).option("checkpointLocation", ckpt).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sum(seen)
+
+    first = run_until_drained()
+    assert first == batch0.count()
+
+    batch1.coalesce(1).write.parquet(str(src_dir / "b1"))
+    second = run_until_drained()
+    assert second == batch1.count()  # b0 NOT reprocessed after restart
+
+    shutil.rmtree(str(src_dir))
