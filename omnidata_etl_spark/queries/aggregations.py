@@ -304,3 +304,31 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_price"),
         F.sqrt(var).alias("stddev_price"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY bucket
+    """,
+    tags=("agg", "stats"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (50k buckets over order value) — the
+    distribution-profiling aggregate. Binning is floor of one double
+    division (identical IEEE op both engines; 2dp inputs never land close
+    enough to a boundary for the quotient to straddle it), so the
+    histogram hash-matches exactly. One partial-agg shuffle of
+    (bucket, count) pairs — cardinality ≈ bucket count, not row count."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )

@@ -362,3 +362,34 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_documents d, LATERAL omnidata_chunk_doc(d.text) c
         """
     )
+
+
+@query(
+    "text_stopword_removal",
+    oracle=f"""
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(string_split(text, ' '),
+                               t -> t NOT IN ({_STOPWORDS_SQL})),
+                   ' ') AS cleaned,
+               CAST(len(string_split(text, ' '))
+                    - len(list_filter(string_split(text, ' '),
+                                      t -> t NOT IN ({_STOPWORDS_SQL})))
+                    AS BIGINT) AS n_removed
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword stripping as a pure array expression (filter + lambda —
+    JVM-side, codegen'd, shuffle-free): the standard corpus-cleaning pass
+    before n-gram/stats passes, emitted as cleaned text + removal count so
+    downstream ops keep an audit trail."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    kept = F.filter(toks, lambda t: ~t.isin(*STOPWORDS))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("cleaned"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

@@ -69,3 +69,51 @@ def test_csv_roundtrip_property(spark, tmp_path_factory, rows):
     got = read_any(spark, path)
     assert got.columns == headers
     assert sorted(map(tuple, got.collect())) == sorted(rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a sequential union-find on
+    arbitrary small graphs (cycles, self-loops, disconnected nodes)."""
+    from omnidata_etl_spark.queries.dedup import connected_components
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # canonicalize: label = min member of each component
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == want
