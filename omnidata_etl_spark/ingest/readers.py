@@ -38,11 +38,26 @@ def sniff_delimiter(first_line: str) -> str:
     return ","
 
 
+# Text codecs Spark decompresses transparently that the stdlib can also open
+# (for sniffing). A codec suffix is stripped before extension dispatch.
+_CODEC_OPENERS = {".gz": "gzip", ".bz2": "bz2"}
+
+
+def strip_codec_suffix(path: str) -> str:
+    """'people.jsonl.gz' → 'people.jsonl' (dispatch on the inner format)."""
+    root, ext = os.path.splitext(path)
+    return root if ext.lower() in _CODEC_OPENERS else path
+
+
 def _first_line(path: str) -> str:
-    import gzip
+    import importlib
 
     # Compressed text sniffs the same way Spark reads it: through the codec.
-    opener = gzip.open if path.endswith(".gz") else open
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _CODEC_OPENERS:
+        opener = importlib.import_module(_CODEC_OPENERS[ext]).open
+    else:
+        opener = open
     with opener(path, mode="rt", encoding="utf-8") as f:
         for line in f:
             if line.strip():
@@ -171,7 +186,7 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     if fmt:
         ext = "." + fmt.lstrip(".")
     else:
-        ext = os.path.splitext(path)[1].lower()
+        ext = os.path.splitext(strip_codec_suffix(path))[1].lower()
     if ext == ".parquet":
         ensure_tuned(spark)
         return spark.read.parquet(path)

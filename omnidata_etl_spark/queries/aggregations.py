@@ -224,10 +224,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                arg_max(o_orderkey,
-                       CAST(o_totalprice AS DECIMAL(18,2)) * 1000000
+                       CAST(o_totalprice AS DECIMAL(18,2)) * 1000000000000
                        + o_orderkey) AS max_price_orderkey,
                arg_min(o_orderkey,
-                       CAST(o_totalprice AS DECIMAL(18,2)) * 1000000
+                       CAST(o_totalprice AS DECIMAL(18,2)) * 1000000000000
                        + o_orderkey) AS min_price_orderkey,
                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS max_price,
@@ -245,10 +245,13 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: prices tie across orders, and tie-breaking inside
     max_by/arg_max is engine-defined — so the ordering value is the exact
-    decimal price scaled and offset by the unique orderkey
-    (price_cents·10⁴ + key), making the argmax unique on both engines."""
+    decimal price scaled by 10¹² and offset by the unique orderkey, making
+    the argmax unique on both engines. The scale factor must exceed the
+    max orderkey or the key term could outvote a one-cent price difference
+    (10¹² covers keys up to a trillion; decimal arithmetic keeps it
+    exact)."""
     o = table(spark, sf_dir, "orders")
-    ordval = dec2("o_totalprice") * 1000000 + F.col("o_orderkey")
+    ordval = dec2("o_totalprice") * 1000000000000 + F.col("o_orderkey")
     return o.groupBy("o_orderstatus").agg(
         F.max_by("o_orderkey", ordval).alias("max_price_orderkey"),
         F.min_by("o_orderkey", ordval).alias("min_price_orderkey"),

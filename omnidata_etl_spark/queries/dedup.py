@@ -235,6 +235,11 @@ def connected_components(
     large-scale connected components (cf. large-star/small-star, which this
     loop upgrades to if diameters grow). Returns (doc_id, label) with
     label = min node id of the component.
+
+    Raises RuntimeError if labels have not converged after ``max_rounds``
+    (a silent early exit would return wrong labels and split real
+    clusters); callers with deeper graphs raise the bound or switch to
+    large-star/small-star.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -274,8 +279,10 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
-                break
-        return labels
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
     finally:
         edges.unpersist()
 

@@ -66,13 +66,29 @@ def stream_structured_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_stream(spark, sf_dir)
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (raw schema; ns→µs)."""
+def _event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_copies: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events parquet (raw schema; ns→µs).
+
+    ``n_copies`` symlinks the file N times (each symlink is a distinct
+    source file → N micro-batches of identical rows, the cross-batch
+    duplicate generator for dedup demos); ``max_files_per_trigger``
+    throttles to one file per batch so the copies arrive sequentially.
+    """
     src_file = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(src_file).schema
     stream_dir = tempfile.mkdtemp(prefix="omnidata_stream_src_")
-    os.symlink(src_file, os.path.join(stream_dir, "events.parquet"))
-    src = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    for i in range(n_copies):
+        os.symlink(src_file, os.path.join(stream_dir, f"events_{i}.parquet"))
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(stream_dir)
     if isinstance(src.schema["ts"].dataType, T.LongType):
         src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return src
@@ -202,18 +218,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only; tests assert the emitted counts equal the batch per-type
     counts of the distinct-event_id set (tests/test_streaming.py).
     """
-    src_file = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(src_file).schema
-    stream_dir = tempfile.mkdtemp(prefix="omnidata_stream_dup_")
-    os.symlink(src_file, os.path.join(stream_dir, "events_a.parquet"))
-    os.symlink(src_file, os.path.join(stream_dir, "events_b.parquet"))
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
-    )
-    if isinstance(src.schema["ts"].dataType, T.LongType):
-        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    src = _event_stream(spark, sf_dir, n_copies=2, max_files_per_trigger=1)
     deduped = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -278,9 +278,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The max comparison happens in DECIMAL (exact) and only the output is
     cast to double, so ties and the winner are engine-independent.
 
-    Plan: one suppkey shuffle builds revenue0; the scalar MAX is a tiny
-    single-row aggregate broadcast back (cross-join of a 1-row frame), so
-    revenue0 is computed once and reused — no second scan of lineitem."""
+    Plan: revenue0 feeds two branches (the scalar MAX and the join), which
+    Spark plans as two independent aggregation subtrees — two scans of
+    lineitem, BOTH pruned by the pushed quarter filter, so the duplicate
+    branch costs one extra pruned quarter-scan, not a full-table read
+    (pinned by tests/test_plans.py::test_q15_scan_budget_and_pushdown).
+    The 1-row MAX broadcasts back; the winner comparison stays decimal."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))

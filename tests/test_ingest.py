@@ -172,3 +172,21 @@ def test_typed_load_roundtrip(spark):
     row = got.orderBy("person_id").first()
     assert row["balance"] == Decimal("100.50")
     assert row["active"] is True
+
+
+def test_gzip_jsonl_dispatches_to_json_reader(spark, tmp_path):
+    """Codec suffixes are stripped before extension dispatch: a .jsonl.gz
+    must reach the JSON reader (not be sniffed as delimiter text)."""
+    import gzip
+
+    from omnidata_etl_spark.ingest.fixtures import fixture_path
+    from omnidata_etl_spark.ingest.readers import read_any
+
+    src = fixture_path("people.jsonl")
+    gz = str(tmp_path / "people.jsonl.gz")
+    with open(src, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    got = read_any(spark, gz)
+    want = read_any(spark, src)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got.count() == want.count()

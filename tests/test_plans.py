@@ -124,8 +124,10 @@ def test_pricing_summary_partial_agg(spark, sf_dir):
 def test_q7_broadcasts_both_nation_roles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q7_volume_shipping")
     assert plan.count("BroadcastHashJoin") >= 2  # nation x2
-    # shipdate range reaches the lineitem scan
-    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # shipdate range reaches the lineitem scan (assert on the scan's
+    # PushedFilters line itself, not anywhere in the plan text)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed)
 
 
 def test_q8_dims_broadcast_facts_shuffle(spark, sf_dir):

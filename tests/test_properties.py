@@ -100,7 +100,6 @@ def test_connected_components_matches_union_find(spark, edges):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    want = {i: find(i) for i in range(n)}
     # canonicalize: label = min member of each component
     comp_min = {}
     for i in range(n):
