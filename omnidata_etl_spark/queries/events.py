@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import dec2
 from omnidata_etl_spark.registry import query
 
 
@@ -297,4 +298,60 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_active"),
             F.count("n_user").cast("bigint").alias("n_retained"),
         )
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+        SELECT event_id, user_id, value,
+               (value - CAST(sumx AS DOUBLE) / n)
+               / sqrt((CAST(sumsq AS DOUBLE)
+                       - CAST(sumx AS DOUBLE) * CAST(sumx AS DOUBLE) / n)
+                      / (n - 1)) AS zscore
+        FROM events
+        JOIN (
+            SELECT user_id AS agg_user, COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS sumx,
+                   SUM(CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2))) AS sumsq
+            FROM events
+            GROUP BY user_id
+            HAVING COUNT(*) > 1
+        ) m ON user_id = agg_user
+        WHERE abs((value - CAST(sumx AS DOUBLE) / n)
+                  / sqrt((CAST(sumsq AS DOUBLE)
+                          - CAST(sumx AS DOUBLE) * CAST(sumx AS DOUBLE) / n)
+                         / (n - 1))) > 2.5
+    """,
+    tags=("events", "stats", "quality"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags (|z| > 2.5) — the monitoring op that
+    pages someone. Mean/stddev come from EXACT decimal moments per user
+    (same trick as agg_variance_exact: order-independent sums, then one
+    fixed tree of double ops), so even the inequality at the 2.5 boundary
+    is engine-independent. One user_id shuffle for moments, then a
+    same-key broadcast-or-shuffle join back to the rows."""
+    ev = table(spark, sf_dir, "events")
+    v = dec2("value")
+    moments = (
+        ev.groupBy(F.col("user_id").alias("agg_user"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("sumx"),
+            F.sum(v * v).alias("sumsq"),
+        )
+        .where(F.col("n") > 1)
+    )
+    mean = F.col("sumx").cast("double") / F.col("n")
+    var = (
+        F.col("sumsq").cast("double")
+        - F.col("sumx").cast("double") * F.col("sumx").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(moments, ev.user_id == moments.agg_user)
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "user_id", "value", z.alias("zscore"))
     )

@@ -161,3 +161,46 @@ def test_q19_extracts_common_equi_key(spark, sf_dir):
 def test_q21_semi_anti_share_orderkey(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_runtime_bloom_filter_prefilters_probe_side(spark, sf_dir):
+    """Runtime Bloom-filter join reduction — the semi-join pushdown that
+    matters at 100 TB: a selective dim-side filter materializes a Bloom
+    filter (bloom_filter_agg) that is applied as `might_contain` on the
+    fact scan BEFORE the shuffle, so filtered-out rows never ship.
+    Thresholds are lowered to force injection at test scale; at production
+    sizes the defaults trigger it on any selective build side."""
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.catalog import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan  # probe side prefiltered
+        assert "bloom_filter_agg" in plan  # build side produced the filter
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
