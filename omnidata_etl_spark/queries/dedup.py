@@ -260,10 +260,14 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
+            # Carry the previous label through the checkpoint so convergence
+            # is a filter+count on the tiny materialized frame — no extra
+            # join/shuffle per round.
+            stepped = (
                 labels.join(nbr, labels.doc_id == nbr.src, "left")
                 .select(
                     "doc_id",
+                    F.col("label").alias("prev_label"),
                     F.least(
                         F.col("label"),
                         F.coalesce(F.col("nbr_label"), F.col("label")),
@@ -271,13 +275,10 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = stepped.filter(
+                F.col("label") != F.col("prev_label")
+            ).count()
+            labels = stepped.select("doc_id", "label")
             if changed == 0:
                 return labels
         raise RuntimeError(
