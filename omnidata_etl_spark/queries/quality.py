@@ -173,3 +173,42 @@ def etl_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_bulk"], m["revenue"])],
         "n_rows long, n_bulk long, revenue double",
     )
+
+
+@query(
+    "etl_train_val_test_split",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        ) hashed
+    """,
+    tags=("quality", "ml", "sampling"),
+)
+def etl_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    stable document key (md5 hex → first 32 bits → mod 100) — the
+    training-data split that survives reruns, repartitioning, and
+    incremental appends (a new doc's split never depends on which other
+    docs are present, unlike randomSplit/TABLESAMPLE whose assignment is
+    partition- and seed-order-dependent). md5 hex is identical across
+    engines, so the assignment itself is oracle-checked."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
