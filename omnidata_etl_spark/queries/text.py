@@ -393,3 +393,65 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept, " ").alias("cleaned"),
         (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   unnest(CASE WHEN len(toks) >= 5 THEN
+                       list_transform(generate_series(1, len(toks) - 4),
+                                      i -> md5(array_to_string(toks[i:i+4], ' ')))
+                   ELSE [md5(text)] END) AS h
+            FROM (SELECT doc_id, source, text,
+                         string_split(text, ' ') AS toks FROM documents)
+        ),
+        bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0')
+        SELECT t.doc_id,
+               CAST(COUNT(b.h) > 0 AS BOOLEAN) AS contaminated
+        FROM (SELECT DISTINCT doc_id, h FROM sh WHERE source <> 'src0') t
+        LEFT JOIN bench b ON t.h = b.h
+        GROUP BY t.doc_id
+    """,
+    tags=("text", "dedup", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing ANY
+    5-token-shingle MD5 with the held-out set (source 'src0' stands in for
+    the benchmark corpus) — the n-gram-overlap eval-leakage filter every
+    LLM training pipeline runs before training. Docs under 5 tokens hash
+    their whole text (same convention as text_fingerprint).
+
+    Plan: the benchmark shingle set is DISTINCT + broadcast (eval sets are
+    tiny next to the corpus), so the training side never shuffles — each
+    task probes the broadcast hash set and the only exchange is the per-doc
+    boolean rollup. At 100 TB substitute a Bloom filter for the broadcast
+    set if the benchmark grows past broadcast size."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n = F.size(tokens)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), n - (FINGERPRINT_SHINGLE - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(tokens, i, FINGERPRINT_SHINGLE)).cast(
+                "binary"
+            )
+        ),
+    )
+    hashes = F.when(n >= FINGERPRINT_SHINGLE, shingle_hashes).otherwise(
+        F.array(F.md5(F.col("text").cast("binary")))
+    )
+    sh = docs.select(
+        "doc_id", "source", F.explode(hashes).alias("h")
+    )
+    bench = sh.where(F.col("source") == "src0").select("h").distinct()
+    train = (
+        sh.where(F.col("source") != "src0").select("doc_id", "h").distinct()
+    )
+    bench_h = bench.select(F.col("h").alias("bh"))
+    return (
+        train.join(F.broadcast(bench_h), train.h == bench_h.bh, "left")
+        .groupBy("doc_id")
+        .agg((F.count("bh") > 0).alias("contaminated"))
+    )
