@@ -49,14 +49,17 @@ def filter_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "filter_string_like",
     oracle="""
-        SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%BRASS%'
+        SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%AND%'
     """,
     tags=("filter",),
 )
 def filter_string_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE filter (SURVEY §2B's canonical '%BRASS%' matches nothing in the
+    synthetic p_type vocabulary — '%AND%' hits STANDARD, keeping the check
+    non-vacuous while exercising the same contains-pattern pushdown)."""
     return (
         table(spark, sf_dir, "part")
-        .filter(F.col("p_type").like("%BRASS%"))
+        .filter(F.col("p_type").like("%AND%"))
         .select("p_partkey", "p_name", "p_type")
     )
 

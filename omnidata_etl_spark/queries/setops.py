@@ -101,11 +101,18 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
     """,
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (exceptAll().distinct() would wrongly keep
-    # values whose left multiplicity merely exceeds the right's)
-    return _cust_keys(spark, sf_dir).subtract(_supp_keys(spark, sf_dir))
+    # values whose left multiplicity merely exceeds the right's).
+    # The right side is restricted to high-balance suppliers: unrestricted,
+    # suppliers cover every nation and the difference is vacuously empty.
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return _cust_keys(spark, sf_dir).subtract(supp)

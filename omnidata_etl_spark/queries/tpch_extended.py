@@ -504,7 +504,9 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
               )
               AND NOT EXISTS (
-                  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
               )
         ) custsale
         GROUP BY cntry
@@ -512,17 +514,23 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "subquery", "join", "agg"),
 )
 def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: well-funded customers in selected countries who have
-    never ordered — an uncorrelated scalar-average subquery plus NOT EXISTS.
-    Canonical substring(c_phone) country code → c_nationkey (no phone
-    column). The average is exact-decimal-sum ÷ count per the parity rules.
+    """TPC-H Q22 shape: well-funded customers in selected countries with no
+    urgent orders — an uncorrelated scalar-average subquery plus NOT EXISTS.
+    Canonical substitutions: substring(c_phone) country code → c_nationkey
+    (no phone column), and "has never ordered" → "has no URGENT order"
+    (every synthetic customer has orders, so the canonical predicate would
+    be vacuously empty — this keeps the anti join non-trivial while
+    preserving the query's structure). The average is exact-decimal-sum ÷
+    count per the parity rules.
 
     Plan: the scalar average is a 1-row broadcast; NOT EXISTS is a custkey
     anti join against orders (orders side reduced to its join key by column
     pruning); final tiny groupBy on nationkey."""
     nations = [1, 3, 5, 7, 9, 11, 13]
     c = table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
         (
             F.sum(dec2("c_acctbal")).cast("double")
