@@ -265,11 +265,13 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                CAST(n AS BIGINT) AS n_orders,
-               (CAST(sumsq AS DOUBLE)
-                - CAST(sumx AS DOUBLE) * CAST(sumx AS DOUBLE) / n)
+               (CAST(CAST(sumsq AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sumx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(sumx AS VARCHAR) AS DOUBLE) / n)
                / (n - 1) AS var_price,
-               sqrt((CAST(sumsq AS DOUBLE)
-                     - CAST(sumx AS DOUBLE) * CAST(sumx AS DOUBLE) / n)
+               sqrt((CAST(CAST(sumsq AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sumx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sumx AS VARCHAR) AS DOUBLE) / n)
                     / (n - 1)) AS stddev_price
         FROM (
             SELECT o_orderstatus, COUNT(*) AS n,
@@ -289,7 +291,14 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     values ⇒ x² is exact 4dp), so every partition order yields the same
     sums; the variance formula is then one fixed tree of double ops,
     bit-identical everywhere. The same trick is the 100 TB answer to
-    deterministic metrics across rerun/re-partitioned jobs."""
+    deterministic metrics across rerun/re-partitioned jobs.
+
+    One conversion subtlety (found at sf0.1): once a decimal sum's unscaled
+    integer exceeds 2^53, decimal→double itself becomes engine-dependent —
+    Spark (BigDecimal) converts correctly-rounded, DuckDB's native cast
+    double-rounds via int128→double ÷ 10^scale. The oracle therefore casts
+    through VARCHAR (strtod is correctly rounded), pinning both engines to
+    the same conversion."""
     o = table(spark, sf_dir, "orders")
     x = dec2("o_totalprice")
     moments = o.groupBy("o_orderstatus").agg(
