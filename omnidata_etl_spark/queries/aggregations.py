@@ -344,3 +344,30 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_orders"))
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY — a distinct planner
+    path: Catalyst rewrites N distinct columns into an Expand (N+1 row
+    replicas tagged by group id) + two-level aggregate, instead of N
+    separate shuffles + join. One query, one shuffle lineage, any number
+    of distinct columns — the form to prefer over self-joining per-distinct
+    subqueries at scale."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )

@@ -455,3 +455,28 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.count("bh") > 0).alias("contaminated"))
     )
+
+
+@query(
+    "text_token_positions",
+    oracle="""
+        SELECT doc_id,
+               CAST(i - 1 AS INTEGER) AS pos,
+               toks[i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id < 50),
+             LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware tokenization via posexplode — token order is data
+    (n-gram windows, positional encodings, span labelling all need it).
+    Restricted to doc_id < 50 to keep the fan-out bounded in the declared
+    check; the operator itself streams at any scale (pure map-side
+    explode, no shuffle)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
