@@ -34,6 +34,7 @@ SKIP = {
     "stream_static_join",
     "stream_foreachbatch_upsert",
     "sink_errorifexists",
+    "sink_bucketed_join",
 }
 
 

@@ -314,3 +314,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
         F.col("cosine") >= 0.95
     )
+
+
+@query("embedding_label_centroids", tags=("similarity", "ml"))
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label (class centroids / prototypes — the
+    nearest-class-mean classifier's training step, and the reduce that
+    k-means iterates). Expressed dimension-wise: posexplode each vector,
+    average per (label, dim), reassemble sorted by dim — one shuffle keyed
+    on (label, dim), map-side partial sums, no vectors collected to the
+    driver. Rows-only: float summation order differs across engines (the
+    per-dim double sums are order-dependent); correctness is pinned against
+    numpy in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("x").cast("double")).alias("sx"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label", "dim", "n", (F.col("sx") / F.col("n")).alias("mean_x")
+        )
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_x"))
+            ).alias("pairs"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p.mean_x).alias("centroid"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        )
+    )

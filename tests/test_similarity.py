@@ -30,3 +30,25 @@ def test_lsh_results_subset_of_corpus(spark, sf_dir):
     lsh = _ids(spark, sf_dir, "ann_lsh_topk")
     assert lsh  # the query's own bucket is never empty (contains itself)
     assert 0 not in lsh  # self excluded
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.similarity import embedding_label_centroids
+
+    got = {
+        r["label"]: (np.array(r["centroid"]), r["n_vectors"])
+        for r in embedding_label_centroids(spark, sf_dir).collect()
+    }
+    rows = table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for label, vecs in by_label.items():
+        want = np.mean(vecs, axis=0)
+        cent, n = got[label]
+        assert n == len(vecs)
+        assert cent.shape == want.shape
+        np.testing.assert_allclose(cent, want, rtol=1e-9, atol=1e-12)
