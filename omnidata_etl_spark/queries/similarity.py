@@ -52,7 +52,7 @@ def cosine(a: Column, b: Column) -> Column:
             FROM embeddings WHERE vec_id = 0
         )
         SELECT vec_id,
-               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4)
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe)
                    AS cosine
         FROM embeddings, q
         WHERE vec_id <> 0
@@ -63,8 +63,10 @@ def cosine(a: Column, b: Column) -> Column:
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most similar vectors to vec_id=0 (self excluded, tiebreak
-    vec_id). Both engines do double arithmetic in array order; result rounded
-    to 4dp."""
+    vec_id). Both engines do double arithmetic in array order; the cosine is
+    emitted UNROUNDED — per-row pure double expressions are bit-identical
+    across engines, while ROUND(double, n) is not (Spark rounds the shortest
+    decimal repr, DuckDB the exact binary)."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding")
@@ -72,7 +74,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     cos = cosine(F.col("embedding"), F.col("q_embedding"))
     return (
-        joined.select("vec_id", F.round(cos, 4).alias("cosine"))
+        joined.select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
@@ -87,12 +89,12 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT query_id, vec_id, cosine FROM (
             SELECT q.query_id, e.vec_id,
-                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                                q.qe), 4) AS cosine,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qe) AS cosine,
                    row_number() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY ROUND(list_cosine_similarity(
-                                    CAST(e.embedding AS DOUBLE[]), q.qe), 4) DESC,
+                       ORDER BY list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
                                 e.vec_id ASC) AS rn
             FROM embeddings e, q
             WHERE e.vec_id <> q.query_id
@@ -103,7 +105,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched brute-force ANN: top-5 neighbors for each of 3 query vectors.
     Queries broadcast; per-query ranking via window (one shuffle on query_id,
-    which AQE collapses at this cardinality)."""
+    which AQE collapses at this cardinality). Cosine emitted unrounded —
+    per-row double arithmetic is bit-identical across engines; ROUND is not.
+    """
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
@@ -113,7 +117,7 @@ def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = emb.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+    cos = cosine(F.col("embedding"), F.col("qe"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )

