@@ -26,6 +26,10 @@ _RUNTIME_CONF = {
     # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read natively
     # (PARQUET_TYPE_ILLEGAL): read as long, convert in catalog.table (ns→µs).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow result channel for toPandas/pandas-UDF exchange — runtime-settable,
+    # so the driver's plain session gets it too (row-based collect spends ~3s
+    # deserializing what Arrow moves in <1s on 600k-row outputs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Size post-shuffle partitions by bytes (64 MB advisory), not by raw
     # parallelism: AQE then coalesces a small shuffle to the few tasks it
     # deserves (measured −40% wall on small aggregations locally) and still
@@ -92,7 +96,6 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("OMNIDATA_DRIVER_MEM", "16g"))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # saveAsTable target (bucketed tables for co-located joins);
         # keep the managed warehouse out of the repo tree
