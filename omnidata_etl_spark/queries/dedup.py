@@ -37,7 +37,7 @@ def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """Distinct token n-gram (shingle) sets per document.
+    """Distinct token n-gram (shingle) hash sets per document.
 
     Near-dup dedup must shingle, not use unigram token sets: on a small
     vocabulary every pair of documents shares most *tokens* (measured here:
@@ -45,6 +45,15 @@ def _shingle_sets(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     docs — a full cross product). Shingles are position-sensitive, so random
     documents share almost none and LSH candidates ≈ true near-duplicates.
     Docs shorter than n tokens fall back to their whole text as one shingle.
+
+    Each shingle is collapsed to its xxhash64 *inside* the transform, so the
+    shingle string never leaves the expression: downstream minhashing,
+    persisting, and Jaccard verification all operate on 8-byte longs instead
+    of ~n·6-char strings. Set semantics survive hashing exactly (modulo
+    negligible 64-bit collisions): |A∩B|/|A∪B| over shingle hashes equals
+    shingle Jaccard, and the minhash family is hash-of-hash. At 100 TB this
+    is the difference between shuffling/persisting ~1× corpus bytes of longs
+    and ~5× corpus bytes of overlapping shingle strings.
     """
     docs = table(spark, sf_dir, "documents")
     tokens = F.split("text", " ")
@@ -53,10 +62,10 @@ def _shingle_sets(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, n))),
             )
         ),
-    ).otherwise(F.array(F.col("text")))
+    ).otherwise(F.array(F.xxhash64(F.col("text"))))
     return docs.select("doc_id", shingles.alias("tokens"))
 
 
@@ -105,12 +114,21 @@ def minhash_signatures(token_sets: DataFrame, num_hashes: int = NUM_HASHES) -> D
     shuffles every shingle" objection doesn't apply. The repartition spreads
     the explode+hash map work when the source is a single local file
     partition; at cluster scale AQE elides it.
+
+    Each exploded token is collapsed to one 64-bit hash first and the
+    32-member family then hashes that fixed 8-byte long — 1 variable-length
+    hash + 32 word hashes per shingle instead of 32 variable-length hashes.
+    (With _shingle_sets the tokens are already longs and the extra xxhash64
+    is a single word-mix; the projection also keeps string token sets, as the
+    unit tests supply, on the same code path.)
     """
-    tok = token_sets.repartition(F.col("doc_id")).select(
-        "doc_id", F.explode("tokens").alias("token")
+    tok = (
+        token_sets.repartition(F.col("doc_id"))
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .select("doc_id", F.xxhash64("token").alias("th"))
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("th"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return tok.groupBy("doc_id").agg(*aggs)
@@ -158,7 +176,8 @@ def exact_jaccard(pairs: DataFrame, token_sets: DataFrame) -> DataFrame:
     scale the per-pair cost stays linear in set size with no corpus-wide
     exchange. ``tokens`` arrays are distinct by construction (_shingle_sets /
     _token_sets apply array_distinct), so size(intersect)/size(union) is
-    exact set Jaccard.
+    exact set Jaccard — over shingle *hashes* when fed from _shingle_sets,
+    which equals string-shingle Jaccard modulo negligible 64-bit collisions.
     """
     a = token_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tok_a")
@@ -183,8 +202,15 @@ def exact_jaccard(pairs: DataFrame, token_sets: DataFrame) -> DataFrame:
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH over 5-token shingles (the standard
     LLM-corpus dedup formulation), candidates verified by exact shingle
-    Jaccard ≥ 0.6. Rows-only (hash family not portable to DuckDB)."""
-    shingle_sets = _shingle_sets(spark, sf_dir, n=5)
+    Jaccard ≥ 0.6. Rows-only (hash family not portable to DuckDB).
+
+    The shingle-hash sets are persist()ed: the plan consumes them three times
+    (minhash branch + both sides of the verification join) and Spark
+    recomputes common subplans per branch. Materialized they are ~1× corpus
+    bytes of longs (MEMORY_AND_DISK — spills, never OOMs at cluster scale);
+    recomputing means re-running the shingling transform three times over
+    every document."""
+    shingle_sets = _shingle_sets(spark, sf_dir, n=5).persist()
     sigs = minhash_signatures(shingle_sets)
     cands = lsh_candidate_pairs(sigs)
     return exact_jaccard(cands, shingle_sets).filter(
@@ -317,7 +343,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons are their own canonical.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    shingle_sets = _shingle_sets(spark, sf_dir, n=5)
+    shingle_sets = _shingle_sets(spark, sf_dir, n=5).persist()
     sigs = minhash_signatures(shingle_sets)
     cands = lsh_candidate_pairs(sigs)
     pairs = exact_jaccard(cands, shingle_sets).filter(
@@ -338,7 +364,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram (token trigram) Jaccard ≥ 0.6, with
     MinHash-LSH candidate generation over the same shingles. Rows-only."""
-    shingle_sets = _shingle_sets(spark, sf_dir, n=3)
+    shingle_sets = _shingle_sets(spark, sf_dir, n=3).persist()
     sigs = minhash_signatures(shingle_sets)
     cands = lsh_candidate_pairs(sigs)
     return exact_jaccard(cands, shingle_sets).filter(

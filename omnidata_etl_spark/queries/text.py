@@ -444,16 +444,19 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n >= FINGERPRINT_SHINGLE,
         F.transform(
             F.sequence(F.lit(1), n - (FINGERPRINT_SHINGLE - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, FINGERPRINT_SHINGLE)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(tokens, i, FINGERPRINT_SHINGLE))
+            ),
         ),
-    ).otherwise(F.array(F.col("text")))
-    sh = docs.select(
-        "doc_id", "source", F.explode(shingles).alias("shingle")
-    ).select("doc_id", "source", F.xxhash64("shingle").alias("h"))
+    ).otherwise(F.array(F.xxhash64(F.col("text"))))
+    sh = docs.select("doc_id", "source", F.explode(shingles).alias("h"))
     bench = sh.where(F.col("source") == "src0").select("h").distinct()
-    train = (
-        sh.where(F.col("source") != "src0").select("doc_id", "h").distinct()
-    )
+    # No distinct on the train side: the per-doc rollup is ANY-match
+    # (count(bh) > 0), which duplicate shingles cannot change, so a
+    # (doc_id, h) distinct would add a full shuffle of every training
+    # shingle for nothing. The broadcast probe is map-side; the only
+    # train-side exchange is the one-bool-per-doc rollup.
+    train = sh.where(F.col("source") != "src0").select("doc_id", "h")
     bench_h = bench.select(F.col("h").alias("bh"))
     return (
         train.join(F.broadcast(bench_h), train.h == bench_h.bh, "left")
