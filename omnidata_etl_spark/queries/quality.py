@@ -212,3 +212,55 @@ def etl_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "etl_corpus_mix",
+    oracle="""
+        SELECT doc_id, source
+        FROM (
+            SELECT doc_id, source,
+                   CAST(concat('0x', substr(
+                            md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        ) hashed
+        WHERE bucket < CASE
+            WHEN source = 'src0' THEN 0
+            WHEN source IN ('src1', 'src2', 'src3', 'src4') THEN 100
+            ELSE 35 END
+    """,
+    tags=("quality", "ml", "sampling", "mixing"),
+)
+def etl_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: downsample each source to its target
+    weight (the data-mixture step of LLM training — e.g. keep all curated
+    sources, 35% of crawl, none of the held-out benchmark source). Same
+    stable-key hash-bucket mechanism as etl_train_val_test_split, with a
+    'mix:' salt so mixture membership is independent of split assignment
+    (an unsalted hash would make 'kept' docs correlate with 'train').
+
+    One scan, per-row filter, no shuffle; a new doc's fate never depends on
+    which other docs are present, so incremental corpus builds and reruns
+    agree row-for-row (vs sampleBy, whose assignment is seed+partition-order
+    dependent). Weights are oracle-checked doc-by-doc via the portable md5
+    bucket."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    weight = (
+        F.when(F.col("source") == "src0", 0)
+        .when(F.col("source").isin("src1", "src2", "src3", "src4"), 100)
+        .otherwise(35)
+    )
+    return docs.where(bucket < weight).select("doc_id", "source")

@@ -488,3 +488,112 @@ def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "token"),
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9-]{6,}[0-9]"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(augmented,
+                   '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(augmented, '{_EMAIL_RE}'))
+                    AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(augmented, '{_PHONE_RE}'))
+                    AS INTEGER) AS n_phone
+        FROM (
+            SELECT doc_id,
+                   text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                        || '@corp.example'
+                        || CASE WHEN doc_id % 3 = 0 THEN ''
+                                ELSE ' +1-555-0' || CAST(doc_id AS VARCHAR)
+                           END AS augmented
+            FROM documents
+        )
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub email addresses and phone numbers from document
+    text with regexp_replace — the compliance pass every training-data
+    pipeline runs before tokenization. The synthetic corpus contains no PII,
+    so the query plants deterministic PII first (an email per doc, a phone
+    for 2/3 of docs) and the oracle check compares the full redacted strings
+    — replacement positions, counts, and non-PII text all hash-checked,
+    never vacuous.
+
+    Pure map-side JVM regex per row (no shuffle, no UDF); both regexes are
+    shared Java-regex/RE2 syntax so Spark and DuckDB agree byte-for-byte
+    (DuckDB needs the 'g' flag for replace-all — Spark replaces all by
+    default)."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    augmented = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        did,
+        F.lit("@corp.example"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" +1-555-0"), did)
+        ),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(augmented, _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(augmented, F.lit(_EMAIL_RE)).cast("int").alias("n_email"),
+        F.regexp_count(augmented, F.lit(_PHONE_RE)).cast("int").alias("n_phone"),
+    )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+        SELECT doc_id,
+               1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS dup_token_ratio,
+               CASE WHEN len(toks) >= 2 THEN
+                   1.0 - CAST(len(list_distinct(
+                       list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])))
+                       AS DOUBLE) / (len(toks) - 1)
+               ELSE 0.0 END AS dup_bigram_ratio
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (the Gopher/C4-style quality
+    filter): fraction of duplicate tokens and duplicate token-bigrams per
+    document. Boilerplate, keyboard-mash, and template spam score high;
+    a downstream filter drops rows above a threshold.
+
+    Per-row pure double arithmetic on array sizes — bit-identical across
+    engines with no rounding defence needed (see _util module doc), and
+    shuffle-free map work at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    dup_bg = F.when(
+        n >= 2,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        dup_tok.alias("dup_token_ratio"),
+        dup_bg.alias("dup_bigram_ratio"),
+    )

@@ -53,3 +53,70 @@ def test_observation_rides_a_real_write(spark, sf_dir, tmp_path):
     observed.write.mode("overwrite").parquet(out)
     assert obs.get["n_rows"] == li.count()
     assert spark.read.parquet(out).count() == obs.get["n_rows"]
+
+
+def test_corpus_mix_weights_and_determinism(spark, sf_dir):
+    fn = all_specs()["etl_corpus_mix"].fn
+    kept = {(r["doc_id"], r["source"]) for r in fn(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    by_source: dict[str, int] = {}
+    for r in docs:
+        by_source[r["source"]] = by_source.get(r["source"], 0) + 1
+    kept_by_source: dict[str, int] = {}
+    for _, src in kept:
+        kept_by_source[src] = kept_by_source.get(src, 0) + 1
+    # benchmark source fully excluded; curated sources fully kept
+    assert "src0" not in kept_by_source
+    for s in ("src1", "src2", "src3", "src4"):
+        assert kept_by_source.get(s, 0) == by_source[s]
+    # crawl sources thinned (strictly between 0% and 100% in aggregate)
+    crawl_total = sum(n for s, n in by_source.items()
+                     if s not in ("src0", "src1", "src2", "src3", "src4"))
+    crawl_kept = sum(n for s, n in kept_by_source.items()
+                    if s not in ("src1", "src2", "src3", "src4"))
+    assert 0 < crawl_kept < crawl_total
+    # rerun-stable row-for-row
+    assert kept == {(r["doc_id"], r["source"]) for r in fn(spark, sf_dir).collect()}
+
+
+def test_pii_redact_scrubs_everything(spark, sf_dir):
+    import re
+
+    rows = all_specs()["text_pii_redact"].fn(spark, sf_dir).collect()
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"\+?[0-9][0-9-]{6,}[0-9]")
+    for r in rows:
+        assert not email.search(r["redacted"]), r
+        assert not phone.search(r["redacted"]), r
+        assert r["n_email"] == 1
+        assert r["n_phone"] == (0 if r["doc_id"] % 3 == 0 else 1)
+        assert "[EMAIL]" in r["redacted"]
+
+
+def test_repetition_score_orders_planted_docs(spark):
+    # repetitive doc vs all-distinct doc: the declared formula must
+    # separate them (same expressions as text_repetition_score, applied to
+    # a planted frame since the registered builder reads the catalog table)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam ham"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    out = {
+        r["doc_id"]: (r["t"], r["b"])
+        for r in df.select(
+            "doc_id",
+            (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n).alias("t"),
+            (F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1)).alias("b"),
+        ).collect()
+    }
+    assert out[1][0] > 0.5 and out[1][1] > 0.5
+    assert out[2] == (0.0, 0.0)
