@@ -36,6 +36,7 @@ SKIP = {
     "stream_stateful_user_totals",
     "stream_dedup_watermark",
     "stream_static_join",
+    "stream_stream_interval_join",
     "stream_foreachbatch_upsert",
     "sink_errorifexists",
     "sink_bucketed_join",

@@ -268,3 +268,58 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+@query("stream_stream_interval_join", tags=("streaming", "join"))
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a preceding
+    click by the same user within 1 hour — two independently watermarked
+    streams joined on equality + a time-range predicate. The watermarks
+    bound BOTH sides' join state (each side buffers only rows younger than
+    watermark + interval), which is what makes an unbounded two-feed join
+    viable at 100 TB/day; without them state grows forever. Rows-only;
+    tests assert equality with the identical batch join
+    (tests/test_streaming.py).
+
+    The attributed-value sum goes through DECIMAL(18,2) per row (raw 2dp
+    column) so the total is summation-order-independent — streaming
+    micro-batch order must not change the answer."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+    )
+    joined = clicks.withWatermark("click_ts", "2 hours").join(
+        purchases.withWatermark("purchase_ts", "2 hours"),
+        F.expr(
+            "c_user = p_user AND "
+            "purchase_ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    qname = f"omnidata_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("c_user").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -149,3 +149,40 @@ def test_checkpoint_resume_processes_each_file_once(spark, sf_dir, tmp_path):
     assert second == batch1.count()  # b0 NOT reprocessed after restart
 
     shutil.rmtree(str(src_dir))
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.streaming import stream_stream_interval_join
+
+    got = stream_stream_interval_join(spark, sf_dir).collect()[0]
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    want = (
+        clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND purchase_ts BETWEEN click_ts "
+                "AND click_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_user").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .collect()[0]
+    )
+    assert got["n_pairs"] == want["n_pairs"] > 0
+    assert got["n_users"] == want["n_users"] > 0
+    assert got["attributed_value"] == want["attributed_value"]
