@@ -264,3 +264,57 @@ def etl_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(35)
     )
     return docs.where(bucket < weight).select("doc_id", "source")
+
+
+PACK_TOKEN_BUDGET = 512
+
+
+@query("etl_pack_sequences", tags=("quality", "ml", "packing"))
+def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: bin documents into training sequences of at most
+    PACK_TOKEN_BUDGET whitespace tokens (the step that turns a filtered
+    corpus into fixed-length LM training rows without padding waste).
+
+    Greedy packing is inherently order-sequential, so it distributes the
+    standard way: deterministic hash repartition by doc_id, sort within
+    partitions, then greedy first-fit per partition inside one Arrow-batched
+    mapInPandas pass — packing quality is per-partition-optimal-ish while
+    the corpus never funnels through one node. pack_id is
+    (partition, bin) so ids never collide across partitions; generator
+    state carries across Arrow batches so a partition's bins are packed
+    continuously regardless of batch slicing. A document longer than the
+    budget gets a dedicated bin (never split, never dropped). Rows-only:
+    the invariants (every doc exactly once; per-pack token sums within
+    budget unless single-doc; rerun determinism) are pinned in
+    tests/test_quality.py."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    from omnidata_etl_spark.session import default_parallelism
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    dist = docs.repartition(default_parallelism(), "doc_id").sortWithinPartitions(
+        "doc_id"
+    )
+
+    def pack(batches):
+        pid = TaskContext.get().partitionId()
+        bin_id, used = 0, 0
+        ids, packs, toks = [], [], []
+        for pdf in batches:
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                n = int(n)
+                if used + n > PACK_TOKEN_BUDGET and used > 0:
+                    bin_id += 1
+                    used = 0
+                used += n
+                ids.append(int(doc_id))
+                packs.append(f"p{pid}_{bin_id}")
+                toks.append(n)
+        yield pd.DataFrame(
+            {"doc_id": ids, "pack_id": packs, "n_tokens": toks}
+        )
+
+    return dist.mapInPandas(pack, "doc_id long, pack_id string, n_tokens int")

@@ -33,6 +33,9 @@ PROBE_QUERIES = (
     "stream_sessionize",
     "tpch_q8_market_share",
     "tpch_q21_waiting_supplier",
+    "dedup_near_minhash",
+    "dedup_cluster_canonical",
+    "text_decontaminate",
 )
 KEY_OFFSET = 10_000_000_000
 
@@ -65,6 +68,34 @@ def build(spark, replicas: int) -> str:
         .drop("rep")
     )
     ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # documents: salt doc_ids per replica and substitute every 7th token
+    # (position+rep dependent) so replicas are neither exact nor near
+    # duplicates of each other — a replicated-but-unperturbed corpus would
+    # turn every doc into a replicas-sized dup cluster and grow the LSH
+    # pair space ~replicas^2, which is a dup-bomb stress test, not a
+    # corpus scaled 10x. Planted near-dup structure within each replica is
+    # preserved (same substitution pattern on both docs of a pair).
+    toks = F.split("text", " ")
+    perturbed = F.concat_ws(
+        " ",
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                (i + F.col("rep")) % 7 == 0,
+                F.concat(F.lit("w"), F.col("rep").cast("string")),
+            ).otherwise(t),
+        ),
+    )
+    docs = (
+        table(spark, BASE, "documents")
+        .crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * KEY_OFFSET)
+        .withColumn("text", perturbed)
+        .withColumn("n_chars", F.length("text"))
+        .drop("rep")
+    )
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     for t in TABLES:
         dst = f"{out_dir}/{t}.parquet"

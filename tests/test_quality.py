@@ -120,3 +120,31 @@ def test_repetition_score_orders_planted_docs(spark):
     }
     assert out[1][0] > 0.5 and out[1][1] > 0.5
     assert out[2] == (0.0, 0.0)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from omnidata_etl_spark.queries.quality import PACK_TOKEN_BUDGET
+
+    fn = all_specs()["etl_pack_sequences"].fn
+    rows = fn(spark, sf_dir).collect()
+    docs_n = table(spark, sf_dir, "documents").count()
+    # every document packed exactly once
+    assert len(rows) == docs_n
+    assert len({r["doc_id"] for r in rows}) == docs_n
+    by_pack: dict[str, list[int]] = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    # budget respected except dedicated oversize bins
+    for toks in by_pack.values():
+        assert sum(toks) <= PACK_TOKEN_BUDGET or len(toks) == 1
+    # packing is effective: can't use fewer packs than the global bound
+    total = sum(r["n_tokens"] for r in rows)
+    assert len(by_pack) >= -(-total // PACK_TOKEN_BUDGET)
+    # packs are reasonably full on this corpus (~100-token docs)
+    import statistics
+
+    fills = [sum(t) for t in by_pack.values()]
+    assert statistics.mean(fills) > PACK_TOKEN_BUDGET * 0.6
+    # rerun-stable
+    again = {(r["doc_id"], r["pack_id"]) for r in fn(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["pack_id"]) for r in rows}
