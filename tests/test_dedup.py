@@ -108,3 +108,36 @@ def test_cluster_canonical_consistent_with_pairs(spark, sf_dir):
     # every near-dup pair landed in one cluster
     for r in dedup_near_minhash(spark, sf_dir).collect():
         assert lab[r["doc_a"]] == lab[r["doc_b"]]
+
+
+def test_incremental_delta_subset_of_full_pairs(spark, sf_dir):
+    """Delta-vs-corpus dedup must find exactly the full pipeline's verified
+    pairs that straddle the batch boundary (new doc x indexed doc), and
+    never pair two new docs or two corpus docs."""
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.queries.dedup import (
+        dedup_incremental_delta,
+        dedup_near_minhash,
+    )
+    from omnidata_etl_spark.catalog import table
+
+    new_sources = {"src15", "src16", "src17", "src18", "src19"}
+    is_new = {
+        r["doc_id"]: r["source"] in new_sources
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in dedup_incremental_delta(spark, sf_dir).collect()
+    }
+    for new_doc, dup_of in got:
+        assert is_new[new_doc] and not is_new[dup_of]
+    want = set()
+    for r in dedup_near_minhash(spark, sf_dir).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if is_new[a] != is_new[b]:
+            want.add((a, b) if is_new[a] else (b, a))
+    assert got == want and len(got) > 0
