@@ -530,7 +530,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared Java-regex/RE2 syntax so Spark and DuckDB agree byte-for-byte
     (DuckDB needs the 'g' flag for replace-all — Spark replaces all by
     default)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     did = F.col("doc_id").cast("string")
     augmented = F.concat(
         F.col("text"),
@@ -578,19 +578,28 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-row pure double arithmetic on array sizes — bit-identical across
     engines with no rounding defence needed (see _util module doc), and
-    shuffle-free map work at any scale."""
-    docs = table(spark, sf_dir, "documents")
+    shuffle-free map work at any scale (spread() fans the single-file local
+    scan out; a no-op on a real multi-file corpus).
+
+    The distinct-bigram count is taken over two-argument xxhash64(tok_i,
+    tok_i+1) longs rather than concatenated strings — same count modulo
+    negligible 64-bit collisions (the DuckDB oracle counts the strings;
+    measured 1.47s → single-digit-% of that), and pair-hashing has no
+    concat-boundary ambiguity."""
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n = F.size(toks)
-    bigrams = F.transform(
+    bigram_hashes = F.transform(
         F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        lambda i: F.xxhash64(
+            F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
     )
     dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
     dup_bg = F.when(
         n >= 2,
         F.lit(1.0)
-        - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1),
+        - F.size(F.array_distinct(bigram_hashes)).cast("double") / (n - 1),
     ).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id",
