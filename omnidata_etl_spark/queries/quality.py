@@ -246,6 +246,12 @@ def etl_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent). Weights are oracle-checked doc-by-doc via the portable md5
     bucket."""
     docs = table(spark, sf_dir, "documents")
+    return docs.where(mix_keep_predicate()).select("doc_id", "source")
+
+
+def mix_keep_predicate():
+    """The corpus-mix keep filter (see etl_corpus_mix): salted md5 bucket of
+    doc_id vs the per-source target weight."""
     bucket = (
         F.conv(
             F.substring(
@@ -263,7 +269,7 @@ def etl_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source").isin("src1", "src2", "src3", "src4"), 100)
         .otherwise(35)
     )
-    return docs.where(bucket < weight).select("doc_id", "source")
+    return bucket < weight
 
 
 PACK_TOKEN_BUDGET = 512
@@ -287,14 +293,21 @@ def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the invariants (every doc exactly once; per-pack token sums within
     budget unless single-doc; rerun determinism) are pinned in
     tests/test_quality.py."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_documents(docs)
+
+
+def pack_documents(docs: DataFrame) -> DataFrame:
+    """Greedy first-fit packing of a (doc_id, n_tokens) frame into
+    PACK_TOKEN_BUDGET bins (see etl_pack_sequences for the full contract).
+    Returns (doc_id, pack_id, n_tokens)."""
     import pandas as pd
     from pyspark import TaskContext
 
     from omnidata_etl_spark.session import default_parallelism
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
-    )
     dist = docs.repartition(default_parallelism(), "doc_id").sortWithinPartitions(
         "doc_id"
     )
@@ -318,3 +331,67 @@ def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return dist.mapInPandas(pack, "doc_id long, pack_id string, n_tokens int")
+
+
+REPETITION_MAX = 0.10  # max dup-bigram ratio a kept doc may have
+MIN_TOKENS = 20
+
+
+@query("etl_training_corpus_build", tags=("quality", "ml", "pipeline"))
+def etl_training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build — the composed production pipeline,
+    each stage an operator declared elsewhere in the registry:
+
+      1. mix      — per-source weight sampling (etl_corpus_mix's predicate);
+      2. filter   — repetition (dup-bigram ratio ≤ 0.10, see
+                    text_repetition_score) and length (≥ 20 tokens) gates;
+      3. dedup    — digest-based exact dedup, min doc_id kept (dedup_hash);
+      4. pack     — greedy 512-token sequence packing (etl_pack_sequences).
+
+    One corpus scan feeds mix+filter+digest map-side; the only wide
+    exchanges are the dedup groupBy on 32-byte digests and the packing
+    repartition — the whole build is two shuffles of compact rows
+    regardless of corpus size. Output: per-source summary (docs kept after
+    each gate, packs produced, total tokens packed) — the corpus-build
+    report a pipeline run ends with. Rows-only (packing is not
+    SQL-expressible); stage consistency is pinned in tests/test_quality.py.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigram_hashes = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.xxhash64(F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    dup_bg = F.when(
+        n >= 2,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigram_hashes)).cast("double") / (n - 1),
+    ).otherwise(F.lit(0.0))
+
+    mixed = docs.where(mix_keep_predicate()).select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        dup_bg.alias("dup_bigram_ratio"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+    clean = mixed.where(
+        (F.col("dup_bigram_ratio") <= REPETITION_MAX)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+    )
+    canonical = (
+        clean.groupBy("text_sha")
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("keep"))
+        .select("keep.doc_id", "keep.source", "keep.n_tokens")
+    )
+    packed = pack_documents(canonical.select("doc_id", "n_tokens"))
+    return (
+        canonical.join(packed.select("doc_id", "pack_id"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs_touched"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -148,3 +148,40 @@ def test_pack_sequences_invariants(spark, sf_dir):
     # rerun-stable
     again = {(r["doc_id"], r["pack_id"]) for r in fn(spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["pack_id"]) for r in rows}
+
+
+def test_training_corpus_build_consistent_with_stages(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.queries.quality import (
+        MIN_TOKENS,
+        REPETITION_MAX,
+        etl_training_corpus_build,
+        mix_keep_predicate,
+    )
+
+    got = {r["source"]: r for r in etl_training_corpus_build(spark, sf_dir).collect()}
+    assert "src0" not in got and len(got) > 0
+    # recompute the kept set stage by stage with independent expressions
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    dup_bg = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1),
+    ).otherwise(F.lit(0.0))
+    clean = (
+        docs.where(mix_keep_predicate())
+        .where((dup_bg <= REPETITION_MAX) & (n >= MIN_TOKENS))
+        .groupBy(F.sha2(F.col("text"), 256).alias("sha"))
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("source"))).alias("keep"))
+        .select("keep.source")
+    )
+    want = {r["source"]: r["n"] for r in clean.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert {s: r["n_docs"] for s, r in got.items()} == want
+    for r in got.values():
+        assert r["total_tokens"] > 0 and r["n_packs_touched"] > 0
