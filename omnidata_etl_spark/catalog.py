@@ -29,9 +29,13 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table; also ensures engine conf on the session.
 
-    events.ts is nanosecond parquet — illegal as a Spark timestamp — so it is
-    read as a nanos long (`nanosAsLong`) and truncated to a µs timestamp here
-    (integer `div`, never float division: ns epochs exceed 2^53).
+    events.ts arrives in whatever physical type the generator used: nanosecond
+    parquet is illegal as a Spark timestamp, so it is read as a nanos long
+    (`nanosAsLong`) and truncated to a µs timestamp here (integer `div`, never
+    float division: ns epochs exceed 2^53); µs parquet arrives as
+    TIMESTAMP_NTZ and is normalized to session-time TIMESTAMP (a value-level
+    no-op under the engine's pinned UTC session zone) so downstream epoch
+    arithmetic (`cast(ts as double)`) stays legal under ANSI.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -57,6 +61,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     per_session[key] = df
     return df
 

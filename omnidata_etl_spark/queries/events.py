@@ -258,7 +258,7 @@ def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(date_trunc('week', ts) AS DATE) AS week_start
             FROM events
         )
-        SELECT a.week_start,
+        SELECT CAST(a.week_start AS VARCHAR) AS week_start,
                CAST(COUNT(*) AS BIGINT) AS n_active,
                CAST(COUNT(b.user_id) AS BIGINT) AS n_retained
         FROM weeks a
@@ -277,7 +277,10 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional count. date_trunc('week') lands on Monday midnight in both
     engines and is cast to DATE before output (ns/µs parity, SURVEY.md
     §7.3 #7). The distinct and the join share the user_id-keyed shuffle;
-    retained = COUNT(matched user_id) under left-join null semantics."""
+    retained = COUNT(matched user_id) under left-join null semantics.
+    week_start stays DATE internally (the +7d join key) and is emitted as an
+    ISO string: the driver's value hash does not canonicalize date-vs-
+    datetime64 dtypes (the CORRECTNESS_r01 cast_typed_load lesson)."""
     ev = table(spark, sf_dir, "events")
     weeks = ev.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
@@ -297,6 +300,11 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_active"),
             F.count("n_user").cast("bigint").alias("n_retained"),
+        )
+        .select(
+            F.col("week_start").cast("string").alias("week_start"),
+            "n_active",
+            "n_retained",
         )
     )
 

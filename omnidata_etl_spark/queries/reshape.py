@@ -142,24 +142,34 @@ def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_date_arith",
     oracle="""
         SELECT o_orderkey,
-               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
-               CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
-               last_day(CAST(o_orderdate AS DATE)) AS month_end
+               CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR)
+                   AS due_date,
+               CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR)
+                   AS week_start,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)
+                   AS month_end
         FROM orders
     """,
     tags=("scalar", "date"),
 )
 def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval arithmetic + week truncation + month-end (both engines
-    start weeks on Monday)."""
+    start weeks on Monday). Dates are computed as DATE and emitted as ISO
+    strings: the driver's value hash does not canonicalize date-vs-
+    datetime64 dtypes (the CORRECTNESS_r01 cast_typed_load lesson)."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
-        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias(
-            "week_start"
-        ),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("string")
+        .alias("due_date"),
+        F.date_trunc("week", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("week_start"),
+        F.last_day(F.col("o_orderdate").cast("date"))
+        .cast("string")
+        .alias("month_end"),
     )
 
 

@@ -33,8 +33,8 @@ def tumbling_stream(
     parquet and return the materialized result.
 
     The file source requires a directory, and the stream must use the RAW
-    parquet schema (ts is a nanos long under `nanosAsLong`) — the ns→µs
-    conversion happens on the stream, mirroring catalog.table.
+    parquet schema — ts normalization (nanos long or NTZ → µs TIMESTAMP)
+    happens on the stream, mirroring catalog.table.
     """
     src = _event_stream(spark, sf_dir)
     agg = (
@@ -66,6 +66,18 @@ def stream_structured_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_stream(spark, sf_dir)
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Mirror catalog.table's ts normalization on a raw events scan: nanos
+    long → µs timestamp; TIMESTAMP_NTZ → session-UTC TIMESTAMP (value no-op,
+    keeps ANSI epoch casts legal)."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _event_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -89,9 +101,7 @@ def _event_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(stream_dir)
-    if isinstance(src.schema["ts"].dataType, T.LongType):
-        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return src
+    return _normalize_ts(src)
 
 
 @query("stream_stateful_user_totals", tags=("streaming", "stateful"))
@@ -152,9 +162,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(raw.schema["ts"].dataType, T.LongType):
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
     base = tempfile.mkdtemp(prefix="omnidata_febatch_")
     src_dir, tgt_base = f"{base}/src", f"{base}/tgt"
