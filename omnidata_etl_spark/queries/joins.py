@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.queries._util import crevsum
 from omnidata_etl_spark.registry import query
 
 
@@ -152,21 +152,21 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: revenue per region over the 5-way star (SURVEY.md §7.1 M1).
 
     Fact-fact joins shuffle once per key; nation/region broadcast. Revenue is
-    summed as DECIMAL(18,2) per row so the result is summation-order-proof.
+    summed as exact int64 1e-4 units per row (_util.cents) so the result is
+    summation-order-proof and stays on the codegen primitive path.
     """
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(crevsum().alias("revenue"))
     )
 
 
@@ -301,12 +301,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     return (
         li.join(
             o,
             (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
         )
         .groupBy("o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(crevsum().alias("revenue"))
     )

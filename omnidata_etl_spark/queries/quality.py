@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.queries._util import rev_units
 from omnidata_etl_spark.registry import query
 
 
@@ -158,14 +158,13 @@ def etl_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     obs = Observation("load_metrics")
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     observed = li.observe(
         obs,
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.when(F.col("l_quantity") > 30, 1).otherwise(0))
         .cast("bigint")
         .alias("n_bulk"),
-        F.sum(revenue).cast("double").alias("revenue"),
+        (F.sum(rev_units()) / 10000.0).alias("revenue"),
     )
     observed.count()  # the job the metrics ride (scans only the 3 columns)
     m = obs.get

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.queries._util import csum
 from omnidata_etl_spark.registry import query
 
 
@@ -49,7 +49,7 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     avg_price = o.agg(
-        (F.sum(dec2("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+        (csum("o_totalprice") / F.count(F.lit(1))).alias(
             "avg_price"
         )
     )

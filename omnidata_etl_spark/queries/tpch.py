@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.queries._util import cents, crevsum, rev_units
 from omnidata_etl_spark.registry import query
 
 
@@ -49,12 +49,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(crevsum().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -88,13 +87,12 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(crevsum().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -176,7 +174,6 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_nationkey", "n_name")
     )
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
@@ -186,7 +183,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (c.c_nationkey == dims.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(crevsum().alias("revenue"))
     )
 
 
@@ -218,8 +215,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec2("l_extendedprice") * dec2("l_discount"))
-            .cast("double")
+            (F.sum(cents("l_extendedprice") * cents("l_discount")) / 10000.0)
             .alias("revenue")
         )
     )
@@ -253,13 +249,12 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     p = table(spark, sf_dir, "part")
-    revenue = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return joined.agg(
         (
             F.lit(100.0).cast("double")
-            * F.sum(F.when(F.col("p_type") == "PROMO", revenue)).cast("double")
-            / F.sum(revenue).cast("double")
+            * (F.sum(F.when(F.col("p_type") == "PROMO", rev_units())) / 10000.0)
+            / (F.sum(rev_units()) / 10000.0)
         ).alias("promo_revenue")
     )
 

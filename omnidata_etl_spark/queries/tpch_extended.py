@@ -9,9 +9,10 @@ distinct optimizer/execution exercise — with predicates adapted to columns
 that exist (each docstring notes the substitution). Q2/Q9/Q11/Q16/Q20 need
 partsupp and are deliberately out of scope.
 
-Determinism discipline throughout (SURVEY.md §7.3): money arithmetic in
-DECIMAL(18,2) from raw columns, final cast to DOUBLE, aliased aggregates,
-unique-key tiebreaks on every LIMIT.
+Determinism discipline throughout (SURVEY.md §7.3): money arithmetic exact
+per row — int64 1e-4 units (_util.cents fast path) on the Spark side against
+DECIMAL(18,2) oracles (value-identical, see _util.cents), final cast to
+DOUBLE, aliased aggregates, unique-key tiebreaks on every LIMIT.
 """
 
 from __future__ import annotations
@@ -20,14 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.queries._util import cents, crevsum, csum, rev_units
 from omnidata_etl_spark.registry import query
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
-
-
-def _revenue():
-    return dec2("l_extendedprice") * (1 - dec2("l_discount"))
 
 
 @query(
@@ -89,7 +86,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(crevsum().alias("revenue"))
     )
 
 
@@ -146,10 +143,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = _revenue()
+    vol = rev_units()
     share_num = F.when(
         F.col("supp_nation") == "NATION_1", vol
-    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    ).otherwise(F.lit(0).cast("long"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -162,7 +159,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                F.sum(share_num).cast("double") / F.sum(vol).cast("double")
+                (F.sum(share_num) / 10000.0) / (F.sum(vol) / 10000.0)
             ).alias("mkt_share")
         )
     )
@@ -275,8 +272,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
     an aggregate-of-aggregate scalar subquery over a derived view.
 
-    The max comparison happens in DECIMAL (exact) and only the output is
-    cast to double, so ties and the winner are engine-independent.
+    The max comparison happens on exact int64 revenue units and only the
+    output becomes double, so ties and the winner are engine-independent.
 
     Plan: revenue0 feeds two branches (the scalar MAX and the join), which
     Spark plans as two independent aggregation subtrees — two scans of
@@ -290,17 +287,17 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier")
     revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue()).alias("total_revenue_dec")
+        F.sum(rev_units()).alias("total_revenue_units")
     )
-    max_rev = revenue0.agg(F.max("total_revenue_dec").alias("max_rev"))
+    max_rev = revenue0.agg(F.max("total_revenue_units").alias("max_rev"))
     return (
         revenue0.join(F.broadcast(max_rev))
-        .where(F.col("total_revenue_dec") == F.col("max_rev"))
+        .where(F.col("total_revenue_units") == F.col("max_rev"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+            (F.col("total_revenue_units") / 10000.0).alias("total_revenue"),
         )
     )
 
@@ -349,9 +346,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .join(part_agg, F.col("agg_partkey") == li.l_partkey)
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            (F.sum(dec2("l_extendedprice")).cast("double") / 7.0)
-            .cast("double")
-            .alias("avg_yearly")
+            (csum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly")
         )
     )
 
@@ -406,7 +401,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(crevsum().alias("revenue"))
     )
 
 
@@ -532,10 +527,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         F.col("o_orderpriority") == "1-URGENT"
     )
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(dec2("c_acctbal")).cast("double")
-            / F.count("*").cast("double")
-        ).alias("avg_bal")
+        (csum("c_acctbal") / F.count("*").cast("double")).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(avg_bal))
@@ -544,6 +536,6 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(
             F.count("*").cast("bigint").alias("numcust"),
-            F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
+            csum("c_acctbal").alias("totacctbal"),
         )
     )

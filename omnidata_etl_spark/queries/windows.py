@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import DEC
+from omnidata_etl_spark.queries._util import cents
 from omnidata_etl_spark.registry import query
 
 
@@ -86,7 +86,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    running = (F.sum(cents("value")).over(w) / 100.0)
     return ev.select("event_id", "user_id", running.alias("running_value"))
 
 
@@ -103,16 +103,14 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-row moving average as decimal-SUM/COUNT (deterministic; see _util)."""
+    """3-row moving average as exact-cents-SUM/COUNT (deterministic; _util.cents)."""
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
-    mov = F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count(
-        "value"
-    ).over(w)
+    mov = (F.sum(cents("value")).over(w) / 100.0) / F.count("value").over(w)
     return ev.select("event_id", "user_id", mov.alias("mov_avg"))
 
 
@@ -167,7 +165,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .rangeBetween(-100, Window.currentRow)
     )
-    near = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    near = (F.sum(cents("o_totalprice")).over(w) / 100.0)
     return o.select("o_orderkey", "o_orderstatus", near.alias("near_total"))
 
 

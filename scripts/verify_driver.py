@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import decimal
+import os
 import sys
 import tempfile
 import time
@@ -31,7 +32,7 @@ import traceback
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def hazard_cols(pdf) -> list[str]:
