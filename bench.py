@@ -51,18 +51,14 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def time_query(fn, spark, sf_dir: str, runs: int = TIMED_RUNS) -> float:
-    def once() -> float:
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Arrow materialization: the idiomatic PySpark result channel —
-        # row-based collect() spends 3s deserializing what Arrow moves in <1s
-        # (measured on the 600k-row outputs; compute itself is ~0.2s).
-        df.toPandas()
-        return time.perf_counter() - t0
-
-    once()  # warm-up (plan compilation, file listing, code gen)
-    return min(once() for _ in range(runs))
+def run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # Arrow materialization: the idiomatic PySpark result channel —
+    # row-based collect() spends 3s deserializing what Arrow moves in <1s
+    # (measured on the 600k-row outputs; compute itself is ~0.2s).
+    df.toPandas()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -70,9 +66,25 @@ def main() -> None:
     specs = all_specs()
     names = sorted(n for n in specs if n not in SKIP)
 
+    # Noise-robust schedule: the same 1-warm-up + TIMED_RUNS executions per
+    # query, but the timed runs are spread across full passes over the
+    # suite (pass 1: warm-up + first timed run; later passes: one timed run
+    # each). Back-to-back timed runs share any minutes-long host-contention
+    # window and min() can't remove it — observed as roving 3-5× spikes on
+    # a different query subset each bench invocation. Interleaving puts
+    # ~5 minutes between a query's timed runs at zero extra executions.
     per_query: dict[str, float] = {}
-    for name in names:
-        per_query[name] = round(time_query(specs[name].fn, spark, SF_DIR), 4)
+    for p in range(1 + TIMED_RUNS):
+        for i, name in enumerate(names):
+            sec = run_once(specs[name].fn, spark, SF_DIR)
+            if p == 0:
+                continue  # warm-up pass (plan compilation, codegen, IO)
+            prev = per_query.get(name)
+            per_query[name] = round(min(sec, prev) if prev else sec, 4)
+        # Long-lived-session housekeeping between passes: ~150 queries
+        # accrete broadcast blocks / AQE state in the single local JVM.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(per_query.values()), 4)
     slowest = dict(

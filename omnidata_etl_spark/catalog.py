@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from omnidata_etl_spark.session import ensure_tuned
+from omnidata_etl_spark.session import default_parallelism, ensure_tuned
 
 TABLES = (
     "region",
@@ -33,14 +33,16 @@ def _size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
     """Size `spark.sql.shuffle.partitions` from the catalog's input stats.
 
     Plan-time analog of AQE coalescing: the right reducer count is a
-    function of the data, not a constant — `total on-disk bytes ×
-    fileCompressionFactor ÷ 64 MB advisory`, clamped to [8, 2000]. At bench
-    scale (tens of MB) that lands on 8, cutting per-stage task-scheduling
-    overhead ~4× vs the core-count default (measured −15% across the bench
-    suite); at cluster scale the same rule yields thousands, and AQE still
-    coalesces/splits per-stage at runtime. Runs once per (session, sf_dir):
-    a deliberate later override by the user would be clobbered on the next
-    table() call otherwise.
+    function of the data — `total on-disk bytes × fileCompressionFactor ÷
+    64 MB advisory` — floored at the core count (a CPU-heavy shuffle stage
+    with fewer tasks than cores starves: measured +100-500ms on the
+    hash-heavy dedup/text queries with an 8-partition floor on 32 cores,
+    while the small-aggregate "win" of fewer tasks was a warm-up artifact
+    that disappears at steady state) and capped at 2000. At bench scale
+    this resolves to the core count; at cluster scale the byte term yields
+    thousands, and AQE still coalesces/splits per-stage at runtime. Runs
+    once per (session, sf_dir): a deliberate later override by the user
+    would be clobbered on the next table() call otherwise.
     """
     key = getattr(spark, "_omnidata_sized_for", None)
     if key == sf_dir:
@@ -57,7 +59,7 @@ def _size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
             else:
                 total += os.path.getsize(f)
         est = total * 3  # uncompressed estimate, mirrors fileCompressionFactor
-        n = max(8, min(2000, est // (64 << 20)))
+        n = max(default_parallelism(), min(2000, est // (64 << 20)))
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     except Exception:  # pragma: no cover - stats are an optimization only
         pass

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import spread
 from omnidata_etl_spark.registry import query
 
 
@@ -151,7 +152,7 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-string column accessor — the engine's JSONB story (R11): JSON
     rides as a string column (reference stringifies objects at insert,
     /root/reference backend/index.js:258) and is unpacked by expression."""
-    ev = table(spark, sf_dir, "events")
+    ev = spread(table(spark, sf_dir, "events"))
     return (
         ev.filter(F.col("props").isNotNull())
         .select(
@@ -176,7 +177,7 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-directed JSON unpacking: from_json into a typed struct (the
     engine's JSONB accessor for known shapes — one parse, many fields),
     plus missing-key null semantics and validity probing."""
-    ev = table(spark, sf_dir, "events")
+    ev = spread(table(spark, sf_dir, "events"))
     parsed = F.from_json(
         F.col("props"), "struct<k:int, missing:string>"
     )
@@ -257,7 +258,7 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     of aborting — the per-expression escape hatch from the engine's global
     ANSI strict-cast mode (reference rollback semantics, SURVEY.md §1.2).
     Strict by default, permissive where declared."""
-    ev = table(spark, sf_dir, "events")
+    ev = spread(table(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         F.expr("try_cast(event_type AS DOUBLE)").alias("bad_num"),

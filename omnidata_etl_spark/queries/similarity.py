@@ -356,3 +356,59 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vectors").cast("bigint").alias("n_vectors"),
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CASE WHEN mx = mn THEN 0
+                             ELSE CAST(floor((x - mn) / (mx - mn) * 255.0)
+                                       AS INTEGER) - 128 END
+               ) AS q8,
+               mn AS q_min,
+               mx AS q_max
+        FROM (
+            SELECT vec_id, embedding,
+                   list_min(CAST(embedding AS DOUBLE[])) AS mn,
+                   list_max(CAST(embedding AS DOUBLE[])) AS mx
+            FROM embeddings
+        ) b
+    """,
+    tags=("similarity", "ml", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 min-max quantization — the 4× storage/bandwidth cut
+    an embedding-serving layout applies before indexing (each vector ships
+    as 64 int8 codes + 2 doubles for dequantization).
+
+    Pure array-lambda expressions, no UDF, no shuffle — one scan, codegen
+    throughout; at 100 TB this is bandwidth-bound like the brute-force
+    scorer. Determinism: all arithmetic in double ((x−mn)/(mx−mn) ≤ 1 is
+    guaranteed by IEEE division, so floor(…*255)−128 lands in [−128,127]);
+    constant vectors (mx=mn) quantize to 0 rather than dividing by zero.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    b = emb.select(
+        "vec_id",
+        xd.alias("ed"),
+        F.array_min(xd).alias("mn"),
+        F.array_max(xd).alias("mx"),
+    )
+    code = lambda x: (  # noqa: E731
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.floor(
+                (x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0
+            ).cast("int")
+            - 128
+        )
+    )
+    return b.select(
+        "vec_id",
+        F.transform("ed", code).alias("q8"),
+        F.col("mn").alias("q_min"),
+        F.col("mx").alias("q_max"),
+    )

@@ -96,6 +96,18 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("OMNIDATA_DRIVER_MEM", "16g"))
+        # A long-lived session running 150+ distinct queries generates
+        # thousands of whole-stage-codegen classes; the JVM's default 240MB
+        # reserved code cache fills, the JIT disables itself, and late
+        # queries run interpreted (measured 3-5x inflation on the
+        # alphabetically-last bench queries vs the same query isolated).
+        # A 1GB reserve + explicit flushing keeps compilation alive for the
+        # whole run; harmless for short sessions (reserve is virtual).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:MaxMetaspaceSize=2g",
+        )
         .config("spark.ui.enabled", "false")
         # saveAsTable target (bucketed tables for co-located joins);
         # keep the managed warehouse out of the repo tree

@@ -52,3 +52,26 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         assert n == len(vecs)
         assert cent.shape == want.shape
         np.testing.assert_allclose(cent, want, rtol=1e-9, atol=1e-12)
+
+
+def test_quantize_int8_roundtrip_bound(spark, sf_dir):
+    """q8 codes stay in int8 range and dequantization reconstructs every
+    element within one quantization step ((mx-mn)/255)."""
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.similarity import embedding_quantize_int8
+
+    got = {
+        r["vec_id"]: (r["q8"], r["q_min"], r["q_max"])
+        for r in embedding_quantize_int8(spark, sf_dir).collect()
+    }
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    assert got.keys() == orig.keys()
+    for vid, (q8, mn, mx) in got.items():
+        assert all(-128 <= c <= 127 for c in q8)
+        step = (mx - mn) / 255.0
+        for c, x in zip(q8, orig[vid]):
+            dequant = mn + (c + 128) * step
+            assert abs(dequant - float(x)) <= step + 1e-12, (vid, c, x)
