@@ -331,3 +331,41 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+@query("stream_text_source_tail", tags=("streaming", "source", "ingest"))
+def stream_text_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion through the custom Python DataSource: the
+    `omnidata_text` sniffing scan (sources/text_source.py) driven as a
+    micro-batch stream — two fixture segments arrive as two batches via
+    the log-segment offset protocol (SimpleDataSourceStreamReader), and
+    the count-per-segment result proves both were consumed exactly once.
+    Rows-only: the source/offset machinery is engine-specific; batch
+    parity of the same scan is oracle-adjacent via the ingest_* checks."""
+    import shutil
+    import uuid
+
+    from omnidata_etl_spark.ingest.fixtures import fixture_path
+    from omnidata_etl_spark.sources import register_text_source
+
+    register_text_source(spark)
+    seg_dir = tempfile.mkdtemp(prefix="omnidata_textstream_")
+    shutil.copy(fixture_path("people_comma.csv"), f"{seg_dir}/part-00001.csv")
+    shutil.copy(fixture_path("people_tab.tsv"), f"{seg_dir}/part-00002.tsv")
+
+    qname = f"omnidata_txt_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.format("omnidata_text").load(seg_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("person_id").alias("n_people"),
+    )

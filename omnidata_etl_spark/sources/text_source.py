@@ -25,7 +25,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 
@@ -79,6 +84,26 @@ def _header_of(path: str) -> tuple[list[str], str]:
     return [], ","
 
 
+def _file_rows(path: str, n_cols: int):
+    """Parsed data rows of one file (header skipped, cells cleaned/padded)."""
+    header, sep = _header_of(path)
+    skipped_header = False
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            if not line.strip():
+                continue  # blank-line skip (backend/index.js:212)
+            if _is_separator_row(line):
+                continue  # markdown `---` row (backend/index.js:114)
+            if not skipped_header:
+                skipped_header = True
+                continue
+            cells = [_clean_cell(c) for c in _parse_line(line, sep)]
+            # pad short rows with NULLs (save-path behavior, :223)
+            cells += [None] * (n_cols - len(cells))
+            yield tuple(cells[:n_cols])
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -93,23 +118,7 @@ class _TextReader(DataSourceReader):
         return [_FilePartition(p) for p in _list_files(self.path)]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        n_cols = len(self.schema.fields)
-        header, sep = _header_of(partition.path)
-        skipped_header = False
-        with open(partition.path, encoding="utf-8") as f:
-            for raw in f:
-                line = raw.rstrip("\n")
-                if not line.strip():
-                    continue  # blank-line skip (backend/index.js:212)
-                if _is_separator_row(line):
-                    continue  # markdown `---` row (backend/index.js:114)
-                if not skipped_header:
-                    skipped_header = True
-                    continue
-                cells = [_clean_cell(c) for c in _parse_line(line, sep)]
-                # pad short rows with NULLs (save-path behavior, :223)
-                cells += [None] * (n_cols - len(cells))
-                yield tuple(cells[:n_cols])
+        yield from _file_rows(partition.path, len(self.schema.fields))
 
 
 class OmnidataTextDataSource(DataSource):
@@ -131,6 +140,49 @@ class OmnidataTextDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _TextReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType):
+        return _TextSimpleStreamReader(schema, dict(self.options))
+
+
+class _TextSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Tail-follow streaming over a directory of text/markdown segments.
+
+    `spark.readStream.format("omnidata_text")` turns the sniffing scan into
+    a micro-batch source: the offset is the count of (lexically sorted)
+    segment files already consumed, so each batch picks up exactly the
+    files appended since the last one — the log-segment convention
+    (part-00001, part-00002, …: appends sort after existing names; an
+    out-of-order name would be silently attributed to an earlier offset
+    range on replay, so the convention is load-bearing and documented).
+    Offsets are tiny JSON dicts regardless of history length; replay for
+    exactly-once recovery is a pure function of (start, end) file indices
+    (`readBetweenOffsets`), which is what makes the source restartable
+    from a checkpoint."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("omnidata_text requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        files = _list_files(self.path)
+        rows = [
+            r
+            for p in files[start["idx"]:]
+            for r in _file_rows(p, len(self.schema.fields))
+        ]
+        return iter(rows), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_files(self.path)[start["idx"]:end["idx"]]
+        return iter(
+            r for p in files for r in _file_rows(p, len(self.schema.fields))
+        )
 
 
 def register_text_source(spark) -> None:

@@ -204,3 +204,16 @@ def test_runtime_bloom_filter_prefilters_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_money_sums_stay_on_int64_path(spark, sf_dir):
+    """The cents fast path must not regress to BigDecimal buffers: the
+    optimized aggregation plan for the pricing summary carries bigint sum
+    buffers and no decimal(28,2) (the promoted type a sum(decimal(18,2))
+    would force — measured 2x slower, PLANS.md round-2 section)."""
+    from omnidata_etl_spark.registry import all_specs
+
+    df = all_specs()["agg_pricing_summary"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "decimal(28,2)" not in plan
+    assert "sum(" in plan

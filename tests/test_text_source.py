@@ -45,3 +45,37 @@ def test_source_sparse_nulls(spark):
     rows = {r["person_id"]: r for r in df.collect()}
     assert rows["2"]["signup_ts"] is None  # short row padded with NULL
     assert rows["1"]["balance"] is None  # empty cell → NULL
+
+
+def test_stream_tail_follow(spark, tmp_path):
+    """readStream over omnidata_text: each micro-batch consumes exactly the
+    segment files appended since the last offset (log-segment tailing)."""
+    import shutil
+    import uuid
+
+    seg_dir = tmp_path / "segments"
+    seg_dir.mkdir()
+    shutil.copy(fixture_path("people_comma.csv"), seg_dir / "part-00001.csv")
+
+    qname = f"txtstream_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.format("omnidata_text").load(str(seg_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.table(qname).count()
+        assert n1 == N_PEOPLE
+
+        shutil.copy(fixture_path("people_tab.tsv"), seg_dir / "part-00002.tsv")
+        q.processAllAvailable()
+        n2 = spark.table(qname).count()
+        assert n2 == 2 * N_PEOPLE
+        # header agreed across segments -> same columns, no null smearing
+        got = spark.table(qname).select(*PEOPLE_HEADERS).collect()
+        assert len(got) == 2 * N_PEOPLE
+    finally:
+        q.stop()
