@@ -74,9 +74,17 @@ def main() -> None:
     # a different query subset each bench invocation. Interleaving puts
     # ~5 minutes between a query's timed runs at zero extra executions.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for p in range(1 + TIMED_RUNS):
         for i, name in enumerate(names):
-            sec = run_once(specs[name].fn, spark, SF_DIR)
+            if name in errors:
+                continue
+            try:
+                sec = run_once(specs[name].fn, spark, SF_DIR)
+            except Exception as e:  # one broken query must not kill the run
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                per_query.pop(name, None)
+                continue
             if p == 0:
                 continue  # warm-up pass (plan compilation, codegen, IO)
             prev = per_query.get(name)
@@ -100,6 +108,8 @@ def main() -> None:
     }
 
     detail = {name: {"spark_sec": sec} for name, sec in per_query.items()}
+    for name, err in errors.items():
+        detail[name] = {"error": err}
     if os.environ.get("BENCH_DUCKDB"):
         import duckdb
 

@@ -3,6 +3,7 @@ equal the batch equivalent; append mode demonstrates watermark withholding."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.queries.streaming import tumbling_stream
@@ -186,3 +187,95 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     assert got["n_pairs"] == want["n_pairs"] > 0
     assert got["n_users"] == want["n_users"] > 0
     assert got["attributed_value"] == want["attributed_value"]
+
+
+def test_transform_with_state_user_totals(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4's typed-state successor to
+    applyInPandasWithState): per-user running totals in a ValueState must
+    equal the batch groupBy. The TWS driver worker needs google.protobuf,
+    which this container does not ship — skipped with reason when absent
+    (same honest-gating as the JDBC and codec tests); the processor code
+    itself is the engine's reference implementation for the new API.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "driver worker cannot start in this container")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from omnidata_etl_spark.queries.streaming import _event_stream
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        import uuid
+
+        src = _event_stream(spark, sf_dir)
+        agg = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        qname = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table(qname).collect()
+        }
+        from pyspark.sql import functions as F
+
+        from omnidata_etl_spark.catalog import table
+
+        want = {
+            r["user_id"]: (r["n"], r["total"])
+            for r in table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-6
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
