@@ -378,3 +378,26 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
+
+
+@query(
+    "agg_try_sum",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS total_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "try"),
+)
+def agg_try_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-aborting int64 money sum: try_sum yields NULL on overflow where
+    ANSI sum raises — the per-expression escape hatch for the cents fast
+    path (_util.cents) on groups that might exceed ~1e9 max-cents rows.
+    At oracle scale no overflow occurs, so values equal the plain sum
+    (which is what the oracle asserts); the overflow→NULL behavior itself
+    is pinned by tests/test_types.py::test_try_sum_overflow_nulls."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        (F.try_sum(cents("o_totalprice")) / 100.0).alias("total_price")
+    )

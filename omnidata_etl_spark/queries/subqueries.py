@@ -157,3 +157,47 @@ def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 2
         ) t
     """)
+
+
+@query(
+    "sql_api_cte_topn",
+    oracle="""
+        WITH seg_rev AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS seg_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, seg_total, n_orders
+        FROM seg_rev
+        ORDER BY seg_total DESC, c_mktsegment
+        LIMIT 3
+    """,
+    tags=("sql-api", "join", "agg"),
+)
+def sql_api_cte_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point as first-class surface: the identical CTE
+    text a reference user would bring runs over the registered catalog
+    views unchanged (register_views) — Catalyst plans SQL text and the
+    DataFrame API into the same logical plans, so everything the plan
+    suite pins (pushdown, broadcast, partial agg) holds for SQL users
+    too. Oracle is the same text modulo view names."""
+    from omnidata_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH seg_rev AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS seg_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, seg_total, n_orders
+        FROM seg_rev
+        ORDER BY seg_total DESC, c_mktsegment
+        LIMIT 3
+    """)

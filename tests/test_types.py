@@ -46,3 +46,18 @@ def test_type_mapping(user, expected):
 def test_case_insensitive():
     assert map_user_type("bigint") == T.LongType()
     assert map_user_type("  Decimal( 8 , 1 )  ") == T.DecimalType(8, 1)
+
+
+def test_try_sum_overflow_nulls(spark):
+    """The cents fast path's two overflow behaviors, side by side: ANSI
+    sum(bigint) RAISES on int64 overflow (fail-safe, never silently
+    wrong), try_sum returns NULL (non-aborting variant, agg_try_sum)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame(
+        [(9_223_372_036_854_775_000,), (9_223_372_036_854_775_000,)], "v long"
+    )
+    assert big.agg(F.try_sum("v").alias("s")).collect()[0]["s"] is None
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        big.agg(F.sum("v")).collect()
