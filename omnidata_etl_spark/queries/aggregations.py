@@ -401,3 +401,37 @@ def agg_try_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         (F.try_sum(cents("o_totalprice")) / 100.0).alias("total_price")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_custs
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct", "scale"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count via two-level bitmap aggregation — the 100 TB
+    pattern for exact COUNT(DISTINCT): keys fold into fixed 4KB bitmap
+    buckets map-side (bitmap_construct_agg), buckets OR-merge across
+    partitions (bitmap_or_agg), and the count is the sum of set bits.
+    Unlike COUNT(DISTINCT)'s expand-then-dedup plan, the shuffle carries
+    (group, bucket)-keyed 4KB bitmaps instead of one row per distinct
+    value — constant-size state per bucket no matter how many duplicates —
+    while staying exact, unlike the HLL sketch (agg_approx_distinct).
+    The oracle asserts equality with plain COUNT(DISTINCT)."""
+    o = table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderstatus",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_custs")
+    )

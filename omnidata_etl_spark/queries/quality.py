@@ -11,7 +11,7 @@ per-row Bernoulli filter with a deterministic seed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
@@ -392,5 +392,68 @@ def etl_training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("pack_id").alias("n_packs_touched"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+        WITH chg AS (
+            SELECT o_custkey AS k, o_orderkey AS seq,
+                   CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+                   o_totalprice AS new_bal
+            FROM orders
+        ),
+        last_chg AS (
+            SELECT k, op, new_bal FROM (
+                SELECT k, op, new_bal,
+                       row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+                           AS rn
+                FROM chg
+            ) t WHERE rn = 1
+        )
+        SELECT c_custkey,
+               CAST(COALESCE(l.new_bal, c.c_acctbal) AS DOUBLE) AS balance
+        FROM customer c LEFT JOIN last_chg l ON c.c_custkey = l.k
+        WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    tags=("quality", "cdc", "etl"),
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes: collapse a keyed change stream (update/delete ops
+    with a total-order sequence) to its last op per key, then merge into
+    the snapshot — update wins, delete drops, untouched keys pass through.
+    This is the Debezium/Delta APPLY CHANGES semantics on plain DataFrames
+    (etl_upsert covers upsert-only; scd2 covers history-keeping).
+
+    The change stream is derived deterministically from orders (key
+    o_custkey, seq o_orderkey — unique, so last-op is well-defined on both
+    engines; every 20th order is a delete). Scale: the last-op window and
+    the merge join share the custkey shuffle; at 100 TB the same plan
+    applies a day's change feed to a snapshot without ever materializing
+    per-key history."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    chg = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 20 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("new_bal"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    last_chg = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("k", "op", "new_bal")
+    )
+    return (
+        c.join(last_chg, c.c_custkey == last_chg.k, "left")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("new_bal"), F.col("c_acctbal"))
+            .cast("double")
+            .alias("balance"),
         )
     )
