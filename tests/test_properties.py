@@ -116,3 +116,34 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes, pairs).collect()
     }
     assert got == want
+
+
+def test_cents_matches_decimal_on_random_2dp(spark):
+    """The int64 money fast path is value-identical to the decimal path on
+    arbitrary 2dp inputs: for 10k random amounts (incl. negatives, zeros,
+    and the largest 2dp values the tables carry), cents(x)/100.0 equals
+    CAST(CAST(x AS DECIMAL(18,2)) AS DOUBLE) bit-for-bit, and the SUM over
+    all of them agrees with the decimal sum — the exactness claim the
+    cents migration rests on (PLANS.md round-2 section)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.queries._util import cents, dec2
+
+    rng = random.Random(20260813)
+    vals = [
+        round(rng.uniform(-1e6, 1e6), 2) for _ in range(10_000)
+    ] + [0.0, 0.01, -0.01, 999999.99, -999999.99]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = df.select(
+        (cents("x") / 100.0).alias("fast"),
+        dec2("x").cast("double").alias("exact"),
+    )
+    mism = out.where(F.col("fast") != F.col("exact")).count()
+    assert mism == 0
+    sums = df.agg(
+        (F.sum(cents("x")) / 100.0).alias("fast_sum"),
+        F.sum(dec2("x")).cast("double").alias("exact_sum"),
+    ).collect()[0]
+    assert sums["fast_sum"] == sums["exact_sum"]
