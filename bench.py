@@ -11,8 +11,11 @@ Protocol (BASELINE.md): one shared SparkSession (JVM startup excluded),
 1 warm-up + N timed runs per query, per-query seconds = min of timed runs
 (steady-state; robust to GC noise). `value` is the sum of per-query seconds.
 
-Optional: BENCH_DUCKDB=1 also times the DuckDB oracle per query and adds
-side-by-side numbers to BENCH_DETAIL.json (the ≤2× gate, self-checked).
+The DuckDB oracle side-by-side (duckdb_sec / ratio per oracle-bearing query —
+the ≤2× gate evidence) is always included in BENCH_DETAIL.json when the
+`duckdb` module imports; set BENCH_DUCKDB=0 to skip it. (r2 lesson: when it
+was opt-in, a driver bench refresh rewrote BENCH_DETAIL.json without ratios
+and the committed gate evidence vanished.)
 """
 
 from __future__ import annotations
@@ -82,8 +85,10 @@ def main() -> None:
             try:
                 sec = run_once(specs[name].fn, spark, SF_DIR)
             except Exception as e:  # one broken query must not kill the run
+                # Keep any timing already recorded in an earlier pass: a
+                # query that ran clean then flaked is 'ran then flaked', not
+                # 'never ran' (r2 ADVICE) — the error is surfaced alongside.
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
-                per_query.pop(name, None)
                 continue
             if p == 0:
                 continue  # warm-up pass (plan compilation, codegen, IO)
@@ -109,31 +114,38 @@ def main() -> None:
 
     detail = {name: {"spark_sec": sec} for name, sec in per_query.items()}
     for name, err in errors.items():
-        detail[name] = {"error": err}
-    if os.environ.get("BENCH_DUCKDB"):
-        import duckdb
+        detail.setdefault(name, {})["error"] = err
+    if os.environ.get("BENCH_DUCKDB", "1") != "0":
+        try:
+            import duckdb
+        except ImportError:  # pragma: no cover - always present in container
+            duckdb = None
+        if duckdb is not None:
+            from omnidata_etl_spark.catalog import TABLES
 
-        from omnidata_etl_spark.catalog import TABLES
-
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{SF_DIR}/{t}.parquet')"
-            )
-        for name in names:
-            oracle = specs[name].oracle
-            if not oracle:
-                continue
-            con.execute(oracle).fetchall()  # warm-up
-            t0 = time.perf_counter()
-            for _ in range(TIMED_RUNS):
-                con.execute(oracle).fetchall()
-            duck = (time.perf_counter() - t0) / TIMED_RUNS
-            detail[name].update(
-                duckdb_sec=round(duck, 4),
-                ratio=round(per_query[name] / duck, 2) if duck > 0 else None,
-            )
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')"
+                )
+            for name in names:
+                oracle = specs[name].oracle
+                if not oracle or name not in per_query:
+                    continue
+                try:
+                    con.execute(oracle).fetchall()  # warm-up
+                    t0 = time.perf_counter()
+                    for _ in range(TIMED_RUNS):
+                        con.execute(oracle).fetchall()
+                    duck = (time.perf_counter() - t0) / TIMED_RUNS
+                except Exception as e:  # oracle flake must not kill the bench
+                    detail[name]["duckdb_error"] = f"{type(e).__name__}: {e}"[:200]
+                    continue
+                detail[name].update(
+                    duckdb_sec=round(duck, 4),
+                    ratio=round(per_query[name] / duck, 2) if duck > 0 else None,
+                )
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 

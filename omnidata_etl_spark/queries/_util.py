@@ -39,9 +39,21 @@ def spread(df: DataFrame) -> DataFrame:
     (no shuffle inserted) — AQE cannot do this adaptively because it only
     coalesces shuffle outputs, never splits a too-coarse scan, and a
     single-row-group file is unsplittable by maxPartitionBytes.
+
+    The width probe is metadata-only: catalog.table() stamps the frame with
+    the parquet split-count estimate (`_omnidata_splits`); the fallback is
+    `inputFiles()` (file listing, no job). Never `df.rdd.getNumPartitions()`
+    — that materializes an RDD lineage through py4j on every query build
+    (r2 ADVICE: a measurable slice of the per-query overhead floor).
     """
     target = default_parallelism()
-    if df.rdd.getNumPartitions() >= target:
+    splits = getattr(df, "_omnidata_splits", None)
+    if splits is None:
+        try:
+            splits = len(df.inputFiles())
+        except Exception:
+            splits = 1
+    if splits >= target:
         return df
     return df.repartition(target)
 

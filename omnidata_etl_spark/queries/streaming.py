@@ -206,11 +206,20 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    final = spark.read.parquet(state["path"])
-    return final.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("value") == 999.0).cast("bigint")).alias("n_updated"),
-    )
+    # Same leak discipline as stream_text_source_tail: collect the summary,
+    # then remove the staging dir (src batches, checkpoint, target versions).
+    import shutil
+
+    try:
+        result = spark.read.parquet(state["path"]).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("value") == 999.0).cast("bigint")).alias("n_updated"),
+        )
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query("stream_dedup_watermark", tags=("streaming", "dedup"))
@@ -363,9 +372,18 @@ def stream_text_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        # Materialize the aggregate BEFORE tearing down the memory sink and
+        # segment dir — the bench invokes this repeatedly in one long-lived
+        # session, and leaking a /tmp dir + a registered memory table per
+        # invocation accretes without bound (r2 ADVICE).
+        result = spark.table(qname).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("person_id").alias("n_people"),
+        )
+        rows = result.collect()
+        schema = result.schema
     finally:
         q.stop()
-    return spark.table(qname).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("person_id").alias("n_people"),
-    )
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -45,6 +45,15 @@ _RUNTIME_CONF = {
     # decision; AQE still converts to broadcast when runtime stats show a
     # side is truly small.
     "spark.sql.sources.fileCompressionFactor": "3.0",
+    # Scan-split sizing: maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, scanBytes/defaultParallelism)). The stock 4 MB
+    # openCost clamps a 10 MB local table to ~3 splits; 256 KB lets the
+    # bytes-per-core term win, so the catalog's multi-row-group mirrors
+    # actually fan out to all cores. Self-scaling: at cluster scale
+    # scanBytes/parallelism ≫ 256 KB and the term is inert (the only cost is
+    # slightly tighter packing of many-tiny-file scans, which our sinks
+    # don't produce).
+    "spark.sql.files.openCostInBytes": "262144",
 }
 
 

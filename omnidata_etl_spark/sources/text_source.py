@@ -170,13 +170,23 @@ class _TextSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"idx": 0}
 
     def read(self, start: dict):
+        # The end offset is pinned from the file listing FIRST so rows and
+        # offset stay consistent if more segments land mid-call. The rows
+        # MUST be a materialized (picklable) sequence, not a generator:
+        # Spark pickles read()'s result to ship it to executors during
+        # planPartitions (observed: "TypeError: cannot pickle 'generator'
+        # object" from MicroBatchExecution) — driver-side materialization
+        # is inherent to the Simple reader API; a source that must stream
+        # executor-side implements DataSourceStreamReader partitions
+        # instead.
         files = _list_files(self.path)
+        end = {"idx": len(files)}
         rows = [
             r
             for p in files[start["idx"]:]
             for r in _file_rows(p, len(self.schema.fields))
         ]
-        return iter(rows), {"idx": len(files)}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_files(self.path)[start["idx"]:end["idx"]]

@@ -4,6 +4,7 @@ closer for similar docs."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.queries.dedup import (
@@ -78,17 +79,47 @@ def test_simhash_similar_docs_have_close_fingerprints(spark, sf_dir):
         assert again[r["doc_id"]] == r["simhash64"]
 
 
-def test_connected_components_chain(spark):
+@pytest.mark.parametrize("edge_limit", [2_000_000, 0])
+def test_connected_components_chain(spark, edge_limit):
     # Chain 1-2-3-4 needs multiple propagation rounds; 5-6 is a separate
-    # pair; 7 is a singleton.
+    # pair; 7 is a singleton. Run both the driver union-find fast path
+    # (default limit) and the distributed superstep loop (limit=0).
     from omnidata_etl_spark.queries.dedup import connected_components
 
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
     )
-    got = {r["doc_id"]: r["label"] for r in connected_components(nodes, pairs).collect()}
+    got = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(
+            nodes, pairs, driver_edge_limit=edge_limit
+        ).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+@pytest.mark.parametrize("edge_limit", [2_000_000, 0])
+def test_connected_components_deep_chain(spark, edge_limit):
+    """A diameter-100 path converges within the default round budget on
+    BOTH paths: union-find trivially, and the distributed loop via the
+    pointer-halving shortcut (~log₂(100) supersteps where pure propagation
+    would need 100 — VERDICT r2 #6: previously this raised the
+    non-convergence guard)."""
+    from omnidata_etl_spark.queries.dedup import connected_components
+
+    n = 101
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(
+            nodes, pairs, driver_edge_limit=edge_limit
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
 
 
 def test_cluster_canonical_consistent_with_pairs(spark, sf_dir):

@@ -95,6 +95,79 @@ print("JDBC_ROUNDTRIP_OK")
 """
 
 
+_DERBY_SCRIPT = """
+import sys
+from pyspark.sql import SparkSession
+
+db_path, derby_home = sys.argv[1], sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("jdbc-derby-roundtrip")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    # keep derby.log + lock files inside the test tmp dir, not the repo CWD
+    .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={derby_home}")
+    .getOrCreate()
+)
+from omnidata_etl_spark.ingest.load import write_jdbc
+from omnidata_etl_spark.ingest.readers import read_jdbc
+
+url = f"jdbc:derby:{db_path};create=true"
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+df = spark.createDataFrame(
+    [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)],
+    "id long, name string, score double",
+)
+# Derby supports Spark-side auto-create (DerbyDialect ships in Spark), so
+# unlike the DuckDB path this exercises the full errorifexists lifecycle:
+# create-on-first-write, then a second mode="error" write must refuse.
+write_jdbc(df, url, "roundtrip", mode="errorifexists", batchsize=1000, driver=DRIVER)
+try:
+    write_jdbc(df, url, "roundtrip", mode="errorifexists", driver=DRIVER)
+    print("ERRORIFEXISTS_NOT_ENFORCED")
+    sys.exit(1)
+except Exception:
+    pass
+# and append is additive
+write_jdbc(df, url, "roundtrip", mode="append", batchsize=1000, driver=DRIVER)
+
+back = read_jdbc(spark, url, "roundtrip", driver=DRIVER)
+rows = sorted((int(r["id"]), r["name"], r["score"]) for r in back.collect())
+expect = sorted(
+    [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)] * 2
+)
+assert rows == expect, f"round-trip mismatch: {rows}"
+print("JDBC_ROUNDTRIP_OK")
+"""
+
+
+def test_jdbc_derby_roundtrip(tmp_path):
+    """Live embedded-RDBMS round-trip via the Derby jars Spark itself ships
+    (pyspark/jars/derby*.jar — always on the driver classpath, no network,
+    no extra install). Covers reference R13-R15 semantics against a real
+    JDBC database: auto-CREATE on first write, errorifexists refusal,
+    batched append, and read_jdbc readback
+    (reference: /root/reference/backend/index.js:153-184, :249-273)."""
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _DERBY_SCRIPT,
+            str(tmp_path / "derbydb"),
+            str(tmp_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert "JDBC_ROUNDTRIP_OK" in proc.stdout, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+
+
 @pytest.mark.skipif(
     _find_jdbc_jar() is None,
     reason="no duckdb_jdbc jar in local maven/coursier caches "

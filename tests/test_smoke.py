@@ -30,3 +30,35 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = _SPECS[name].fn(spark, sf_dir)
     assert df.columns  # stable, non-empty schema
     assert df.count() >= 0
+
+
+def test_mirror_parity(spark):
+    """The layout mirror (catalog._splittable_path) must be value-invisible.
+
+    Forces a mirror of the largest sf0.01 table and checks the mirrored scan
+    is row- and value-identical to a direct scan of the original file, and
+    actually splittable (>1 row group)."""
+    import pyarrow.parquet as pq
+
+    from omnidata_etl_spark import catalog
+
+    sf = "/root/testdata/sf0.01"
+    path, n_splits = catalog._splittable_path(sf, "lineitem")
+    assert path != f"{sf}/lineitem.parquet", "60k-row table should mirror"
+    assert pq.ParquetFile(path).metadata.num_row_groups > 1
+    assert n_splits > 1
+    mirrored = spark.read.parquet(path)
+    direct = spark.read.parquet(f"{sf}/lineitem.parquet")
+    assert mirrored.schema == direct.schema
+    assert mirrored.count() == direct.count()
+    # order-independent full-content fingerprint
+    from pyspark.sql import functions as F
+
+    def fp(df):
+        cols = [F.col(c).cast("string") for c in df.columns]
+        return df.select(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    assert fp(mirrored) == fp(direct)
