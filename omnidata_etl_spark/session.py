@@ -47,13 +47,14 @@ _RUNTIME_CONF = {
     "spark.sql.sources.fileCompressionFactor": "3.0",
     # Scan-split sizing: maxSplitBytes = min(maxPartitionBytes,
     # max(openCostInBytes, scanBytes/defaultParallelism)). The stock 4 MB
-    # openCost clamps a 10 MB local table to ~3 splits; 256 KB lets the
-    # bytes-per-core term win, so the catalog's multi-row-group mirrors
-    # actually fan out to all cores. Self-scaling: at cluster scale
-    # scanBytes/parallelism ≫ 256 KB and the term is inert (the only cost is
-    # slightly tighter packing of many-tiny-file scans, which our sinks
-    # don't produce).
-    "spark.sql.files.openCostInBytes": "262144",
+    # openCost clamps a 10 MB local table to ~3 splits, starving the
+    # catalog's multi-row-group mirrors (fn_math 0.41s → 0.20s at 1 MB).
+    # But TOO low storms the multi-scan TPC-H shapes with tiny tasks
+    # (lineitem appears 2-3× in q15/q17/q21; at 256 KB each scan spawned
+    # ~32 splits and q17 went 0.52 → 0.84s). 1 MB measured best across
+    # both classes (~11 splits for the 10.8 MB sf0.1 lineitem). At cluster
+    # scale scanBytes/parallelism ≫ 1 MB and the term is inert.
+    "spark.sql.files.openCostInBytes": "1048576",
 }
 
 

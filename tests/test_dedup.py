@@ -141,6 +141,18 @@ def test_cluster_canonical_consistent_with_pairs(spark, sf_dir):
         assert lab[r["doc_a"]] == lab[r["doc_b"]]
 
 
+def test_near_minhash_planted_recall_is_perfect(spark, sf_dir):
+    """The self-evidence channel (VERDICT r2 #8): every output row carries
+    planted_recall, and the 20 planted perturbed copies must all be
+    recovered by the LSH+verify stack; no sentinel-id row may leak out."""
+    from omnidata_etl_spark.queries.dedup import dedup_near_minhash
+
+    rows = dedup_near_minhash(spark, sf_dir).collect()
+    assert rows, "expected at least one near-dup pair in the corpus"
+    assert all(r["planted_recall"] == 1.0 for r in rows)
+    assert all(r["doc_a"] < 10_000_000_000 > r["doc_b"] for r in rows)
+
+
 def test_incremental_delta_subset_of_full_pairs(spark, sf_dir):
     """Delta-vs-corpus dedup must find exactly the full pipeline's verified
     pairs that straddle the batch boundary (new doc x indexed doc), and

@@ -19,6 +19,14 @@ def test_stream_complete_equals_batch(spark, sf_dir):
     assert canonical(stream_pdf) == canonical(batch_pdf)
 
 
+def test_structured_demo_self_evidence(spark, sf_dir):
+    """stream_structured_demo's matches_batch column (VERDICT r2 #8) must be
+    true on every row — the frame carries its own streaming==batch proof."""
+    rows = all_specs()["stream_structured_demo"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["matches_batch"] for r in rows)
+
+
 def test_stateful_totals_equal_batch(spark, sf_dir):
     """applyInPandasWithState final per-user state == batch groupBy."""
     from pyspark.sql import functions as F
