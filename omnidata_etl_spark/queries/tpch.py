@@ -281,22 +281,30 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery), top-20 by price.  l_quantity values are small integers, so
     the double SUM is exact and order-independent on both engines.
 
-    Plan: the HAVING aggregate reuses lineitem's orderkey shuffle; the IN
-    becomes a semi-join on the same key (no re-partition under AQE), then
-    one more orderkey shuffle joins the surviving orders back to lines."""
+    Plan (round 3): the IN-subquery decorrelation (groupBy + semi join +
+    re-join the fact) scanned lineitem twice and shuffled it on l_orderkey
+    twice. The window form computes the per-order quantity once — SUM OVER
+    (PARTITION BY l_orderkey) — and filters lines of qualifying orders in
+    the same pass: one lineitem scan, one orderkey shuffle. The surviving
+    sliver (a handful of orders) then joins orders/customer; the final
+    groupBy re-derives sum_qty from the kept lines (every line of a
+    qualifying order survives the per-order-constant filter, so the sums
+    are identical to the HAVING subquery's). Top-20 is
+    TakeOrderedAndProject with the o_orderkey tiebreak."""
+    from pyspark.sql import Window
+
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("big_qty"))
-        .where(F.col("big_qty") > 250)
-        .select("l_orderkey")
+    w = Window.partitionBy("l_orderkey")
+    big_lines = (
+        li.select("l_orderkey", "l_quantity")
+        .withColumn("order_qty", F.sum("l_quantity").over(w))
+        .where(F.col("order_qty") > 250)
     )
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        big_lines.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))

@@ -324,26 +324,34 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue lost to small-quantity orders — a correlated
-    per-part average subquery, decorrelated (in both engines) into a join
-    against a grouped aggregate. Canonical p_container → p_type (the column
+    per-part average subquery. Canonical p_container → p_type (the column
     that exists). l_quantity values are small exact integers in doubles, so
     SUM/COUNT are order-independent and 0.2*avg is bit-identical.
 
-    Plan: the per-part average reuses lineitem's partkey shuffle; part is a
-    broadcast dim; the final global sum is partial/final with no groupBy."""
+    Plan (round 3): the decorrelated join-against-grouped-aggregate form
+    scanned lineitem twice and aggregated ALL parts before discarding
+    ~99% of them against the brand filter. The window form joins the
+    broadcast-filtered part dim FIRST (map-side, no shuffle), so only the
+    surviving parts' lines reach the single per-partkey window shuffle,
+    where SUM/COUNT OVER (PARTITION BY l_partkey) compute the same
+    per-part average the subquery did — one lineitem scan, one shuffle of
+    the filtered fraction, identical values. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    selected brand's sliver."""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL")
     )
-    part_agg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
-        (
-            F.sum("l_quantity").cast("double")
-            / F.count("l_quantity").cast("double")
-        ).alias("avg_qty")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum("l_quantity").over(w).cast("double")
+        / F.count("l_quantity").over(w).cast("double")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(part_agg, F.col("agg_partkey") == li.l_partkey)
+        .withColumn("avg_qty", avg_qty)
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (csum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly")
@@ -438,41 +446,67 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly after every other supplier's lines in the order" (shipdate is
     the date column that exists).
 
-    Plan: both correlated subqueries become orderkey-keyed semi/anti joins
-    with the non-equi conjuncts evaluated inside the join; all three
-    lineitem legs shuffle on l_orderkey so AQE lines them up on one
-    exchange; supplier/nation broadcast at the end."""
+    Plan (round 3): the literal decorrelation — semi + non-equi anti join
+    over three lineitem legs — scanned and shuffled the fact table three
+    times, and the ≥-correlated anti join degenerates toward per-order
+    cross products. The single-pass form derives both EXISTS conditions
+    from windowed order-level statistics instead: per (order, supplier)
+    the max shipdate (`smax`, window 1), then per order (window 2, chained
+    on a prefix of the same key so only one extra exchange) the overall
+    max `m1`, the number of distinct suppliers `n_supp`, the count of
+    suppliers achieving `m1`, and the runner-up `m2`. A line "waited
+    alone" iff its supplier uniquely holds m1, the order has ≥2 suppliers,
+    and the line shipped strictly after every other supplier's latest line
+    (shipdate > m2) — algebraically identical to EXISTS ∧ NOT EXISTS (a
+    non-top supplier always has another supplier shipping ≥ its line, and
+    with a unique top supplier the other-supplier max IS m2). One lineitem
+    scan, two shuffles of the F-order sliver, no self-joins; the
+    finalized-orders semi join runs first and broadcast-prunes the scan
+    input (plain join: AQE picks broadcast locally, SortMergeJoin at
+    scale)."""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem")
-    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"),
-        F.col("l_suppkey").alias("l2_suppkey"),
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-        F.col("l_shipdate").alias("l3_shipdate"),
-    )
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("l2_orderkey"))
-            & (F.col("l_suppkey") != F.col("l2_suppkey")),
-            "left_semi",
-        ).join(
-            l3,
-            (F.col("l_orderkey") == F.col("l3_orderkey"))
-            & (F.col("l_suppkey") != F.col("l3_suppkey"))
-            & (F.col("l3_shipdate") >= F.col("l_shipdate")),
-            "left_anti",
+
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    w_os = Window.partitionBy("l_orderkey", "l_suppkey")
+    w_o = Window.partitionBy("l_orderkey")
+    staged = (
+        l1.withColumn("smax", F.max("l_shipdate").over(w_os))
+        .withColumn("m1", F.max("smax").over(w_o))
+        .withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w_o))
+        )
+        .withColumn(
+            "n_top",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("smax") == F.col("m1"), F.col("l_suppkey"))
+                ).over(w_o)
+            ),
+        )
+        .withColumn(
+            "m2",
+            F.max(
+                F.when(F.col("smax") < F.col("m1"), F.col("smax"))
+            ).over(w_o),
         )
     )
+    waiting = staged.where(
+        (F.col("smax") == F.col("m1"))
+        & (F.col("n_top") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("l_shipdate") > F.col("m2"))
+    )
     return (
-        waiting.join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))

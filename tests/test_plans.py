@@ -158,9 +158,23 @@ def test_q19_extracts_common_equi_key(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q21_semi_anti_share_orderkey(spark, sf_dir):
+def test_q21_single_scan_window_form(spark, sf_dir):
+    """Round-3 Q21: the EXISTS/NOT-EXISTS pair is derived from windowed
+    order statistics, not lineitem self-joins — exactly ONE lineitem scan
+    (plus the finalized-orders semi join), and Window nodes present."""
     plan = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftAnti" not in plan
+    assert "Window" in plan
+    assert plan.count("lineitem") == 1
+
+
+def test_q17_q18_single_scan_window_form(spark, sf_dir):
+    """Round-3 Q17/Q18: the per-group subquery aggregate is a window over
+    the single fact scan — no second lineitem leg."""
+    for q in ("tpch_q17_small_quantity_revenue", "tpch_q18_large_orders"):
+        plan = _plan(spark, sf_dir, q)
+        assert "Window" in plan, q
+        assert plan.count("lineitem") == 1, q
 
 
 def test_runtime_bloom_filter_prefilters_probe_side(spark, sf_dir):
