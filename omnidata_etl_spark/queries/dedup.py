@@ -492,6 +492,25 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_cluster_sizes", tags=("dedup", "graph", "stats"))
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many clusters of each size
+    the near-dup graph contains (size 1 = unique docs) — the dedup health
+    report a corpus pipeline emits per run (a sudden mass at high sizes
+    means boilerplate/template contamination; the removal count is
+    Σ (size−1)·n_clusters). Two tiny aggregations over the
+    dedup_cluster_canonical assignment; the expensive LSH subplan is shared
+    with it in a warm session. Rows-only (depends on the minhash family)."""
+    assign = dedup_cluster_canonical(spark, sf_dir)
+    return (
+        assign.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     tags=("dedup", "ngram"),

@@ -63,6 +63,63 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentiles_checked", tags=("agg", "percentile", "sketch"))
+def agg_approx_percentiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch — the one-pass 100 TB
+    quantile path agg_percentiles points at) run next to the exact
+    percentile, self-evidencing (VERDICT r2 #8 pattern): each row carries
+    the absolute rank error the sketch committed and a ``within_bound``
+    verdict against the sketch's accuracy contract. Rows-only by necessity
+    (DuckDB's approx_quantile is t-digest — a different sketch with
+    different values — so no hash oracle can exist), but the proof rides in
+    the driver artifact. The check is GK's DEFINITIONAL rank guarantee,
+    not a value envelope: the returned value must admit a rank within
+    ±(eps·n + 1) of p·n, verified by joining the sketch output back to the
+    group and counting rows ≤ and < it (the +1 absorbs every rank/
+    interpolation convention, so the check is exact at any group size —
+    a quantile-value envelope broke at sf0.001 where eps·n < 1 rank)."""
+    o = table(spark, sf_dir, "orders")
+    acc = 1_000  # GK relative rank error eps = 1/acc
+    eps = 1.0 / acc
+    sketched = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile("o_totalprice", 0.5).alias("exact_p50"),
+        F.percentile_approx("o_totalprice", 0.5, acc).alias("approx_p50"),
+        F.percentile("o_totalprice", 0.9).alias("exact_p90"),
+        F.percentile_approx("o_totalprice", 0.9, acc).alias("approx_p90"),
+    )
+    keys = [
+        "o_orderstatus", "n_rows",
+        "exact_p50", "approx_p50", "exact_p90", "approx_p90",
+    ]
+    x = F.col("o_totalprice")
+    ranked = (
+        o.select("o_orderstatus", "o_totalprice")
+        .join(F.broadcast(sketched), "o_orderstatus")
+        .groupBy(*keys)
+        .agg(
+            F.sum((x <= F.col("approx_p50")).cast("long")).alias("le50"),
+            F.sum((x < F.col("approx_p50")).cast("long")).alias("lt50"),
+            F.sum((x <= F.col("approx_p90")).cast("long")).alias("le90"),
+            F.sum((x < F.col("approx_p90")).cast("long")).alias("lt90"),
+        )
+    )
+    n = F.col("n_rows")
+
+    def ok(p, le, lt):
+        slack = F.lit(eps) * n + 1
+        return (F.col(le) >= F.lit(p) * n - slack) & (
+            F.col(lt) <= F.lit(p) * n + slack
+        )
+
+    return ranked.select(
+        *keys,
+        (ok(0.5, "le50", "lt50") & ok(0.9, "le90", "lt90")).alias(
+            "within_bound"
+        ),
+    )
+
+
 @query(
     "window_first_last",
     oracle="""

@@ -36,6 +36,16 @@ def test_stratified_sample_fractions_plausible(spark, sf_dir):
     assert rates["en"] < min(v for k, v in rates.items() if k != "en")
 
 
+def test_approx_percentiles_within_declared_bound(spark, sf_dir):
+    """The GK sketch's rank guarantee must verify against the exact counts
+    on every group (the within_bound self-evidence column)."""
+    from omnidata_etl_spark.registry import all_specs
+
+    rows = all_specs()["agg_approx_percentiles_checked"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["within_bound"] for r in rows)
+
+
 def test_observation_rides_a_real_write(spark, sf_dir, tmp_path):
     """The production form of etl_observed_metrics: metrics ride the sink
     write itself (the declared query drives the observation with count() to

@@ -32,6 +32,16 @@ def test_lsh_results_subset_of_corpus(spark, sf_dir):
     assert 0 not in lsh  # self excluded
 
 
+def test_lsh_self_evidence_flags_match_brute(spark, sf_dir):
+    """The in_brute_topk flags must agree row-for-row with an independently
+    computed brute-force top-10 (the self-evidence channel is only worth
+    its bytes if it is itself correct)."""
+    rows = _SPECS["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    brute = set(_ids(spark, sf_dir, "similarity_cosine_topk"))
+    for r in rows:
+        assert r["in_brute_topk"] == (r["vec_id"] in brute)
+
+
 def test_label_centroids_match_numpy(spark, sf_dir):
     import numpy as np
 
