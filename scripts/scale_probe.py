@@ -32,6 +32,8 @@ PROBE_QUERIES = (
     "window_rank_topn",
     "stream_sessionize",
     "tpch_q8_market_share",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
     "tpch_q21_waiting_supplier",
     "dedup_near_minhash",
     "dedup_cluster_canonical",
