@@ -43,6 +43,10 @@ SKIP = {
     "stream_foreachbatch_upsert",
     "sink_errorifexists",
     "sink_bucketed_join",
+    # These two stage fixture/shattered files into /tmp and run stream or
+    # write machinery over them — same staging class as the sink ops above.
+    "stream_text_source_tail",
+    "etl_compact_small_files",
 }
 
 
