@@ -47,6 +47,7 @@ SKIP = {
     # write machinery over them — same staging class as the sink ops above.
     "stream_text_source_tail",
     "etl_compact_small_files",
+    "sink_text_source_roundtrip",
 }
 
 

@@ -23,13 +23,17 @@ executors, which is the 100 TB layout anyway.
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -121,8 +125,99 @@ class _TextReader(DataSourceReader):
         yield from _file_rows(partition.path, len(self.schema.fields))
 
 
+@dataclass
+class _TextCommit(WriterCommitMessage):
+    """Per-partition commit message: staged name → final name (None for an
+    empty partition that wrote nothing)."""
+
+    tmp_name: str | None
+    final_name: str | None
+
+
+class _TextWriter(DataSourceWriter):
+    """Batch write path: each partition streams its rows into one
+    dot-prefixed staged segment (invisible to `_list_files`, so concurrent
+    readers never see a half-written file), and the driver-side commit
+    renames every staged segment into place — the same stage-then-rename
+    atomicity as the engine's parquet sink (ingest/load.py). `overwrite`
+    removes the pre-existing segments recorded at plan time, AFTER the new
+    ones land.
+
+    Format parity with the reader (and the reference's parser): tab
+    delimiter (sniffed first, /root/reference backend/index.js:107), one
+    header line per segment, NULL ↔ empty cell (:223). The reference's
+    parser has no quoting, so a value containing a tab or newline RAISES
+    rather than silently corrupting the table. Local/shared-filesystem
+    writer by design — executors and the committing driver must see one
+    namespace (the reference's uploads are likewise local disk,
+    backend/index.js:17-30); an object-store deployment swaps this class
+    for a committer-protocol sink.
+    """
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("omnidata_text requires a path")
+        self.cols = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        self.existing = (
+            [os.path.basename(p) for p in _list_files(self.path)]
+            if os.path.isdir(self.path)
+            else []
+        )
+
+    def write(self, iterator: Iterator) -> _TextCommit:
+        os.makedirs(self.path, exist_ok=True)
+        uid = uuid.uuid4().hex
+        tmp = f".part-{uid}.tsv.inprogress"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w", encoding="utf-8") as f:
+            f.write("\t".join(self.cols) + "\n")
+            for row in iterator:
+                cells = []
+                for i in range(len(self.cols)):
+                    v = row[i]
+                    s = "" if v is None else str(v)
+                    if "\t" in s or "\n" in s:
+                        raise ValueError(
+                            "omnidata_text cannot represent tab/newline in a "
+                            f"cell (column {self.cols[i]!r}); the format has "
+                            "no quoting (reference parser parity)"
+                        )
+                    cells.append(s)
+                f.write("\t".join(cells) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(os.path.join(self.path, tmp))
+            return _TextCommit(None, None)
+        return _TextCommit(tmp, f"part-{uid}.tsv")
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_name:
+                os.rename(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, m.final_name),
+                )
+        if self.overwrite:
+            for name in self.existing:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_name:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+
 class OmnidataTextDataSource(DataSource):
-    """format("omnidata_text") — sniffing text/markdown scan as a source."""
+    """format("omnidata_text") — sniffing text/markdown scan as a source,
+    stage-and-rename delimited-text writer as a sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -140,6 +235,9 @@ class OmnidataTextDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _TextReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _TextWriter(schema, dict(self.options), overwrite)
 
     def simpleStreamReader(self, schema: StructType):
         return _TextSimpleStreamReader(schema, dict(self.options))

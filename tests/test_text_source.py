@@ -79,3 +79,51 @@ def test_stream_tail_follow(spark, tmp_path):
         assert len(got) == 2 * N_PEOPLE
     finally:
         q.stop()
+
+
+def test_writer_roundtrip_append_and_overwrite(spark, tmp_path):
+    """Batch write path: rows written through the custom sink read back
+    value-identical through the custom scan (NULL ↔ empty cell), append
+    adds segments, overwrite replaces them."""
+    from omnidata_etl_spark.sources import register_text_source
+
+    register_text_source(spark)
+    out = str(tmp_path / "seg")
+    df = spark.createDataFrame(
+        [("1", "ada", None), ("2", None, "9.5"), ("3", "lin", "7.25")],
+        "person_id string, name string, score string",
+    )
+    df.write.format("omnidata_text").mode("append").save(out)
+    back = spark.read.format("omnidata_text").load(out)
+    assert sorted(back.columns) == ["name", "person_id", "score"]
+    got = {tuple(r) for r in back.collect()}
+    assert got == {
+        ("1", "ada", None),
+        ("2", None, "9.5"),
+        ("3", "lin", "7.25"),
+    }
+    # append: same rows again -> double count
+    df.write.format("omnidata_text").mode("append").save(out)
+    assert spark.read.format("omnidata_text").load(out).count() == 6
+    # overwrite: back to one copy
+    df.write.format("omnidata_text").mode("overwrite").save(out)
+    assert spark.read.format("omnidata_text").load(out).count() == 3
+    # no staged leftovers
+    import os
+
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+
+def test_writer_rejects_unrepresentable_cells(spark, tmp_path):
+    """The format has no quoting (reference parser parity): a tab inside a
+    value must fail the job loudly, not corrupt the table."""
+    import pytest
+
+    from omnidata_etl_spark.sources import register_text_source
+
+    register_text_source(spark)
+    df = spark.createDataFrame([("1", "has\ttab")], "a string, b string")
+    with pytest.raises(Exception, match="(?i)tab|cannot represent"):
+        df.write.format("omnidata_text").mode("append").save(
+            str(tmp_path / "bad")
+        )
