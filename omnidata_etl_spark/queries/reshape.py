@@ -120,6 +120,105 @@ def agg_approx_percentiles_checked(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+CMS_EPS = 0.0001  # count-min over-estimate bound: eps * total_items
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+
+
+@query("agg_heavy_hitters_cms", tags=("agg", "sketch", "text"))
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch, self-evidencing (VERDICT r2 #8
+    pattern): the document corpus's token frequencies are folded into ONE
+    mergeable CMS (`count_min_sketch` — map-side partial sketches, a
+    KB-sized final merge, O(1) memory at any corpus size), then the exact
+    top-10 tokens are looked up in the sketch and each row carries the
+    sketch estimate next to the exact count plus a ``within_bound`` verdict
+    against CMS's one-sided guarantee (estimate ≥ exact, and ≤ exact +
+    eps·N with probability ≥ confidence). Rows-only by necessity — the
+    sketch is engine-specific — but the accuracy proof rides in the frame.
+
+    Scale shape: the exact top-10 here is the self-check harness; at 100 TB
+    the candidate set comes from per-partition SpaceSaving-style local
+    top-k (cheap, mergeable) and only candidates consult the sketch. The
+    sketch query is driver-side (10 lookups against an already-collected
+    KB-sized object), never a per-row JVM call.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tokens = tokens.persist()
+    try:
+        exact = (
+            tokens.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+            .orderBy(F.desc("exact_n"), F.asc("tok"))
+            .limit(10)
+            .collect()
+        )
+        total = tokens.count()
+        sketch_bytes = tokens.agg(
+            F.count_min_sketch(
+                "tok", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+            ).alias("cms")
+        ).collect()[0]["cms"]
+    finally:
+        tokens.unpersist()
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    slack = int(CMS_EPS * total) + 1
+    rows = []
+    for r in exact:
+        est = int(cms.estimateCount(r["tok"]))
+        rows.append(
+            (
+                r["tok"],
+                int(r["exact_n"]),
+                est,
+                est >= r["exact_n"] and est <= r["exact_n"] + slack,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "tok string, exact_n long, cms_n long, within_bound boolean"
+    )
+
+
+@query("agg_hll_partitioned_union", tags=("agg", "sketch"))
+def agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL rollup: one customer-distinct sketch per nation,
+    unioned into the global distinct — the pre-aggregated-sketch pattern
+    that makes COUNT(DISTINCT) cheap at 100 TB (per-partition sketches are
+    computed once, persisted, and re-unioned for ANY later grouping instead
+    of re-scanning raw data). Self-evidencing: the single output row
+    carries the sketch estimate, the exact distinct, the relative error,
+    and a ``within_bound`` verdict at 3× HLL's standard error for the
+    sketch precision used (lgConfigK=12 → ~1.04/√4096 ≈ 1.6%; 3σ ≈ 4.9%).
+    Rows-only — sketch values are engine-specific."""
+    LG_K = 12
+    REL_BOUND = 3 * 1.04 / (1 << (LG_K // 2))  # 3x standard error for 2^12
+    c = table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(LG_K)).alias("sk")
+    )
+    unioned = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_distinct")
+    )
+    exact = c.agg(
+        F.count_distinct("c_custkey").alias("exact_distinct")
+    )
+    rel_err = (
+        F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+    )
+    return unioned.crossJoin(exact).select(
+        "hll_distinct",
+        "exact_distinct",
+        rel_err.alias("rel_err"),
+        (rel_err <= F.lit(REL_BOUND)).alias("within_bound"),
+    )
+
+
 @query(
     "window_first_last",
     oracle="""

@@ -195,3 +195,21 @@ def test_training_corpus_build_consistent_with_stages(spark, sf_dir):
     assert {s: r["n_docs"] for s, r in got.items()} == want
     for r in got.values():
         assert r["total_tokens"] > 0 and r["n_packs_touched"] > 0
+
+
+def test_cms_heavy_hitters_within_bound(spark, sf_dir):
+    """CMS one-sided guarantee must verify for every exact-top-10 token:
+    estimate >= exact and <= exact + eps*N (the within_bound column)."""
+    rows = all_specs()["agg_heavy_hitters_cms"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["within_bound"] for r in rows)
+    assert all(r["cms_n"] >= r["exact_n"] for r in rows)
+
+
+def test_hll_partitioned_union_matches_exact(spark, sf_dir):
+    """Unioned per-nation HLL sketches must estimate the global distinct
+    within 3x the sketch's standard error (the within_bound column)."""
+    rows = all_specs()["agg_hll_partitioned_union"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["within_bound"], (r["hll_distinct"], r["exact_distinct"])
