@@ -106,22 +106,8 @@ def _splittable_path(sf_dir: str, name: str) -> tuple[str, int]:
     return dst, target
 
 
-# Estimated-uncompressed catalog bytes below which adaptive execution is
-# turned off for the session: AQE's per-stage materialization barrier
-# (submit stage → collect runtime stats → re-plan → submit next, each a
-# driver round-trip) costs ~50ms per shuffle at local scale while every
-# benefit it buys — runtime coalescing, skew splitting, join demotion —
-# needs data large enough to mis-estimate. Measured at sf0.1 (~120 MB
-# est): −60% wall on small aggregates, −20-45% on mid-size joins/windows.
-# Above the threshold (the ×10 probe and any real deployment) AQE stays
-# on; the plan-time sizing below remains accurate either way because it is
-# computed from the same input stats.
-_AQE_MIN_EST_BYTES = 256 << 20
-
-
 def _size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
-    """Size `spark.sql.shuffle.partitions` (and the AQE on/off gate) from
-    the catalog's input stats.
+    """Size `spark.sql.shuffle.partitions` from the catalog's input stats.
 
     Plan-time analog of AQE coalescing: the right reducer count is a
     function of the data — `total on-disk bytes × fileCompressionFactor ÷
@@ -163,14 +149,6 @@ def _size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
         n = max(default_parallelism(), min(2000, est // (64 << 20)))
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
         spark._omnidata_sized_value = str(n)
-        # AQE gate (see _AQE_MIN_EST_BYTES). Same respect-the-user rule as
-        # above: only replace the engine default ("true", set by
-        # ensure_tuned) or a value this sizer wrote for another sf_dir.
-        aqe = "true" if est >= _AQE_MIN_EST_BYTES else "false"
-        cur_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        if cur_aqe in {"true", getattr(spark, "_omnidata_aqe_value", None)}:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe)
-            spark._omnidata_aqe_value = aqe
     except Exception:  # pragma: no cover - stats are an optimization only
         pass
 
