@@ -49,17 +49,21 @@ _RUNTIME_CONF = {
     # default: a 64 MB estimated build side (~21 MB on disk under the 3×
     # compression factor) deserializes to well under 1 GB — trivial for the
     # 4-16 GB executors this engine targets — and every broadcast it enables
-    # removes a full shuffle of the FACT side. Measured at sf0.1: the
-    # mid-size orders/customer tables (est 15-45 MB) flipped from
-    # SortMergeJoin to broadcast and the multi-join TPC-H shapes dropped
-    # 25-60% wall (q5 1.43→0.54s, q10 0.88→0.44s, q18 0.88→0.65s). The
+    # removes a full shuffle+sort of the FACT side at PLAN time instead of
+    # waiting for AQE to demote the exchange at runtime. Verified on the
+    # sf0.1 plans: tpch_q5's one remaining SortMergeJoin (orders, est
+    # ~15 MB) becomes the 5th BroadcastHashJoin. Wall-clock effect under an
+    # order-alternated min-of-4 A/B is modest (q10 −13%, q12/q18/q7 a few
+    # percent, rest ties) because runtime demotion was already catching
+    # most cases; the win is determinism — the right join strategy no
+    # longer depends on AQE having a shuffle boundary to observe. The
     # decision stays size-relative: at sf1+ the same tables exceed the
     # threshold and the planner (and AQE, via the matching adaptive
-    # threshold) falls back to SortMergeJoin — exactly the ×10 probe's
-    # documented flip, now happening one scale later. Skew/OOM safety is
-    # unchanged: the threshold bounds the BUILD side, and 64 MB is inside
-    # the range the Spark tuning guide and AQE docs treat as
-    # cheap-to-broadcast on executors with GBs of memory.
+    # threshold) falls back to SortMergeJoin — the ×10 probe's documented
+    # flip, one scale later. Skew/OOM safety is unchanged: the threshold
+    # bounds the BUILD side, and 64 MB is inside the range the Spark
+    # tuning guide treats as cheap-to-broadcast on executors with GBs of
+    # memory.
     "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
     "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 << 20),
     # Scan-split sizing: maxSplitBytes = min(maxPartitionBytes,
