@@ -12,6 +12,7 @@ assertion lives in the test suite (SURVEY.md §5 item 5).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -57,7 +58,7 @@ def tumbling_stream(
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
+        _stop(q)
     return spark.table(qname)
 
 
@@ -126,6 +127,7 @@ def _event_stream(
     src_file = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(src_file).schema
     stream_dir = tempfile.mkdtemp(prefix="omnidata_stream_src_")
+    _STREAM_DIRS.append(stream_dir)
     for i in range(n_copies):
         os.symlink(src_file, os.path.join(stream_dir, f"events_{i}.parquet"))
     reader = spark.readStream.schema(raw_schema)
@@ -133,6 +135,22 @@ def _event_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(stream_dir)
     return _normalize_ts(src)
+
+
+# Symlink staging dirs created by _event_stream, drained by _stop(): the
+# source dir is only read while the stream runs, so once the query is
+# stopped (every declared stream here runs processAllAvailable → stop
+# before returning a memory-sink frame) the dir is garbage. Without the
+# drain, repeated bench passes accreted one /tmp dir per stream query per
+# pass (r2 ADVICE class).
+_STREAM_DIRS: list[str] = []
+
+
+def _stop(q) -> None:
+    """Stop a finished streaming query and drain its source staging dirs."""
+    q.stop()
+    while _STREAM_DIRS:
+        shutil.rmtree(_STREAM_DIRS.pop(), ignore_errors=True)
 
 
 @query("stream_stateful_user_totals", tags=("streaming", "stateful"))
@@ -173,7 +191,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
+        _stop(q)
     return spark.table(qname)
 
 
@@ -235,7 +253,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
+        _stop(q)
 
     # Same leak discipline as stream_text_source_tail: collect the summary,
     # then remove the staging dir (src batches, checkpoint, target versions).
@@ -280,7 +298,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
+        _stop(q)
     return (
         spark.table(qname)
         .groupBy("event_type")
@@ -314,7 +332,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
+        _stop(q)
     return spark.table(qname)
 
 
@@ -363,7 +381,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q.processAllAvailable()
     finally:
-        q.stop()
+        _stop(q)
     return spark.table(qname).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("c_user").alias("n_users"),
@@ -414,7 +432,7 @@ def stream_text_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = result.collect()
         schema = result.schema
     finally:
-        q.stop()
+        _stop(q)
         spark.catalog.dropTempView(qname)
         shutil.rmtree(seg_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
