@@ -31,7 +31,7 @@ from omnidata_etl_spark.registry import all_specs  # noqa: E402
 from omnidata_etl_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 # Streaming/sink/ingest behavioral ops are excluded from the headline timing
 # loop (they time filesystem staging, not query execution).
 SKIP = {
@@ -57,6 +57,12 @@ def _sf_label(sf_dir: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def _timed(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
 
 
 def run_once(fn, spark, sf_dir: str) -> float:
@@ -140,10 +146,13 @@ def main() -> None:
                     continue
                 try:
                     con.execute(oracle).fetchall()  # warm-up
-                    t0 = time.perf_counter()
-                    for _ in range(TIMED_RUNS):
-                        con.execute(oracle).fetchall()
-                    duck = (time.perf_counter() - t0) / TIMED_RUNS
+                    # min-of-N, same robust statistic as the Spark side —
+                    # a mean lets one contention spike inflate (or a lucky
+                    # quiet window deflate) the ratio asymmetrically.
+                    duck = min(
+                        _timed(lambda: con.execute(oracle).fetchall())
+                        for _ in range(TIMED_RUNS)
+                    )
                 except Exception as e:  # oracle flake must not kill the bench
                     detail[name]["duckdb_error"] = f"{type(e).__name__}: {e}"[:200]
                     continue
