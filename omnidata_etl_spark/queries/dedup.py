@@ -167,27 +167,36 @@ def minhash_signatures(token_sets: DataFrame, num_hashes: int = NUM_HASHES) -> D
         .select("doc_id", F.explode("tokens").alias("token"))
         .select("doc_id", F.xxhash64("token").alias("th"))
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("th"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    # One parsed struct-of-aggregates instead of num_hashes Column objects:
+    # every F.min(F.xxhash64(F.lit(i), ...)) built Python-side is ~4 py4j
+    # round trips, and the 32-wide loop cost ~200ms of driver latency per
+    # query BUILD (profiled r3; the whole dedup family pays it). A single
+    # F.expr parses JVM-side in one trip. xxhash64({i}, th) hashes an INT
+    # literal exactly as F.lit(i) did — same signature values.
+    sig = ", ".join(
+        f"min(xxhash64({i}, th)) AS h{i}" for i in range(num_hashes)
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(F.expr(f"struct({sig})").alias("_s"))
+        .select("doc_id", "_s.*")
+    )
 
 
 def _banded(signatures: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_hash) — one row per signature band; equal
     band_hash within a band_id ⇒ LSH candidate bucket."""
-    bands = []
-    for b in range(BANDS):
-        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("band_hash"),
-            )
+    bands = ", ".join(
+        "struct({b} AS band_id, xxhash64({cols}) AS band_hash)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
         )
+        for b in range(BANDS)
+    )
     return signatures.select(
-        "doc_id", F.explode(F.array(*bands)).alias("band")
+        "doc_id", F.expr(f"explode(array({bands}))").alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
@@ -321,23 +330,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ~20% faster at sf0.1, with the token hashed once before the 64
     extractions.
     """
+    from omnidata_etl_spark.queries._util import spread
+
     docs = table(spark, sf_dir, "documents")
     tok = (
-        docs.repartition(F.col("doc_id"))
+        spread(docs)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .select("doc_id", F.xxhash64("token").alias("h"))
     )
-    aggs = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
-        for i in range(64)
-    ]
-    votes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *aggs)
-    fp = None
-    for i in range(64):
-        bit = (F.col(f"s{i}") * 2 > F.col("n")).cast("long")
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return votes.select("doc_id", fp.alias("simhash64"))
+    # Both wide expression lists are single parsed strings: the Python-loop
+    # form (64 × F.sum(...) Columns + a 64-term fold of Column operators)
+    # cost ~0.8s of py4j round trips per query BUILD alone (profiled r3),
+    # more than the query's actual execution. The bit sums pack into one
+    # struct-of-aggregates; the fingerprint terms use + instead of XOR
+    # (identical on disjoint bit positions) so the parser emits a flat
+    # chain.
+    sums = ", ".join(
+        f"sum(shiftright(h, {i}) & 1) AS s{i}" for i in range(64)
+    )
+    votes = (
+        tok.groupBy("doc_id")
+        .agg(F.expr(f"struct(count(1) AS n, {sums})").alias("_v"))
+        .select("doc_id", "_v.*")
+    )
+    fp = " + ".join(
+        f"shiftleft(cast(s{i} * 2 > n AS BIGINT), {i})" for i in range(64)
+    )
+    return votes.select("doc_id", F.expr(fp).alias("simhash64"))
 
 
 def connected_components(

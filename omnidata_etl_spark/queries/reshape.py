@@ -143,7 +143,9 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch query is driver-side (10 lookups against an already-collected
     KB-sized object), never a per-row JVM call.
     """
-    docs = table(spark, sf_dir, "documents")
+    from omnidata_etl_spark.queries._util import spread
+
+    docs = spread(table(spark, sf_dir, "documents"))
     tokens = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")

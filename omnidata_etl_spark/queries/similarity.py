@@ -148,14 +148,27 @@ def hyperplane(plane_id: int, dim: int = EMBED_DIM) -> list[float]:
     return comps
 
 
-def lsh_bucket(embedding: Column) -> Column:
-    """Random-hyperplane LSH bucket id: one sign bit per plane."""
-    bucket = F.lit(0)
+def lsh_bucket(col_name: str = "embedding") -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane.
+
+    Emitted as ONE parsed SQL expression: the Column-object form (8 planes ×
+    64 F.lit components + fold) was ~500 py4j round trips ≈ 0.5s of driver
+    latency per query build (profiled r3); the plane components inline as
+    SQL array literals and parse JVM-side in a single trip.
+    """
+    terms = []
     for p in range(LSH_PLANES):
-        plane = F.array(*[F.lit(c) for c in hyperplane(p)])
-        bit = F.when(dot(embedding, plane) >= 0, 1).otherwise(0)
-        bucket = bucket * 2 + bit
-    return bucket
+        plane = "array({})".format(
+            ", ".join(repr(c) for c in hyperplane(p))
+        )
+        d = (
+            f"aggregate(zip_with({col_name}, {plane}, "
+            "(x, y) -> cast(x AS DOUBLE) * y), 0.0d, (acc, x) -> acc + x)"
+        )
+        bit = f"(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)"
+        shift = LSH_PLANES - 1 - p
+        terms.append(f"({bit} * {1 << shift})" if shift else bit)
+    return F.expr(" + ".join(terms))
 
 
 @query("ann_lsh_topk", tags=("similarity", "lsh"))
@@ -176,7 +189,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane family guarantees at these dimensions).
     """
     emb = table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket(F.col("embedding"))
+        "bucket", lsh_bucket("embedding")
     )
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("q_bucket")
@@ -322,7 +335,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ 0.95 among vectors sharing an
     LSH bucket (blocked all-pairs — the O(n²/buckets) scale path). Rows-only."""
     emb = table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket(F.col("embedding"))
+        "bucket", lsh_bucket("embedding")
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
