@@ -48,6 +48,8 @@ SKIP = {
     "stream_text_source_tail",
     "etl_compact_small_files",
     "sink_text_source_roundtrip",
+    # writes an ORC staging dir per call — same staging class
+    "ingest_orc",
 }
 
 

@@ -26,6 +26,31 @@ from omnidata_etl_spark.session import default_parallelism
 DEC = "decimal(18,2)"
 
 
+def local_df(spark, rows, schema: str) -> DataFrame:
+    """Small driver-side result set as an Arrow-backed local DataFrame.
+
+    ``spark.createDataFrame(list_of_tuples)`` ships rows through RDD
+    parallelize + per-row pickling and every later materialization pays a
+    full job over those partitions — measured ~290ms per toPandas() for a
+    ONE-ROW frame (r3 profiling). Routing the same rows through a pandas
+    frame takes the Arrow fast path into a LocalRelation (~40ms), a plain
+    local scan with no job. Self-check/summary queries that end in a tiny
+    driver-built result use this instead of createDataFrame(list).
+
+    ``schema`` is the usual DDL string; Spark casts/validates against it
+    exactly as in the list form. Empty ``rows`` falls back to the plain
+    path (Arrow conversion of a columnless pandas frame is finicky).
+    """
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    import pandas as pd
+
+    names = [f.split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=names), schema
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Fan a too-narrow scan out to all cores before CPU-heavy per-row work.
 

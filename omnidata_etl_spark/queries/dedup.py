@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.registry import query
@@ -435,15 +434,13 @@ def connected_components(
                         if rb < ra:
                             ra, rb = rb, ra
                         parent[rb] = ra  # root = min id ⇒ label = min id
-                id_type = nodes.schema["doc_id"].dataType
-                schema = T.StructType(
-                    [
-                        T.StructField("doc_id", id_type),
-                        T.StructField("label", id_type),
-                    ]
-                )
-                labels = nodes.sparkSession.createDataFrame(
-                    [(x, find(x)) for x in parent], schema
+                from omnidata_etl_spark.queries._util import local_df
+
+                id_sql = nodes.schema["doc_id"].dataType.simpleString()
+                labels = local_df(
+                    nodes.sparkSession,
+                    [(x, find(x)) for x in parent],
+                    f"doc_id {id_sql}, label {id_sql}",
                 )
                 return nodes.join(labels, "doc_id", "left").select(
                     "doc_id",

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import rev_units
+from omnidata_etl_spark.queries._util import local_df, rev_units
 from omnidata_etl_spark.registry import query
 
 
@@ -168,7 +168,8 @@ def etl_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.count()  # the job the metrics ride (scans only the 3 columns)
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(m["n_rows"], m["n_bulk"], m["revenue"])],
         "n_rows long, n_bulk long, revenue double",
     )

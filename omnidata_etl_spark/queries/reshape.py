@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import dec2
+from omnidata_etl_spark.queries._util import dec2, local_df
 from omnidata_etl_spark.registry import query
 
 ORDER_STATUSES = ("O", "F", "P")
@@ -158,12 +158,16 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10)
             .collect()
         )
-        total = tokens.count()
-        sketch_bytes = tokens.agg(
+        # total count and the sketch fold in ONE pass over the tokens —
+        # a separate count() re-scanned the persisted explode for nothing
+        sketch_row = tokens.agg(
+            F.count(F.lit(1)).alias("total"),
             F.count_min_sketch(
                 "tok", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
-            ).alias("cms")
-        ).collect()[0]["cms"]
+            ).alias("cms"),
+        ).collect()[0]
+        total = sketch_row["total"]
+        sketch_bytes = sketch_row["cms"]
     finally:
         tokens.unpersist()
     jvm = spark.sparkContext._jvm
@@ -181,8 +185,8 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 est >= r["exact_n"] and est <= r["exact_n"] + slack,
             )
         )
-    return spark.createDataFrame(
-        rows, "tok string, exact_n long, cms_n long, within_bound boolean"
+    return local_df(
+        spark, rows, "tok string, exact_n long, cms_n long, within_bound boolean"
     )
 
 
