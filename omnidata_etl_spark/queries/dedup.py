@@ -58,54 +58,75 @@ def _shingle_sets(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     return _shingle_sets_of(table(spark, sf_dir, "documents"), n)
 
 
-def _shingle_sets_of(docs: DataFrame, n: int) -> DataFrame:
-    """`_shingle_sets` over an arbitrary (doc_id, text) frame.
+def rolling_shingle_hashes(
+    docs: DataFrame, n: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra, sh): one row per n-token shingle hash of ``text``.
 
-    Rolling-window formulation: hash each token once (codegen'd xxhash64
-    over the exploded tokens), then every shingle hash is xxhash64 of the
-    n consecutive token hashes delivered by LEAD over (doc_id, pos) — one
-    window pass, everything inside whole-stage codegen. The naive
+    Rolling formulation, shuffle-free: hash every token ONCE into a
+    per-document array (``transform`` + xxhash64 — one interpreted lambda
+    per token, the cheap direction), then posexplode the n-gram start
+    positions and form each shingle hash as codegen'd xxhash64 over the n
+    adjacent token hashes via 0-based array indexing (GetArrayItem — a
+    plain projection, never an interpreted per-position lambda). The naive
     per-document ``transform(sequence(...), i -> xxhash64(concat_ws(' ',
-    slice(tokens, i, n))))`` form evaluates an interpreted lambda that
-    re-slices and re-concatenates ~n·6 chars per position — measured 4.7×
-    slower at sf0.1 (1.63s vs 0.35s for the full shingle pass) and the
-    same CPU multiple at any scale. The trade is one shuffle of token
-    hashes (8 bytes/token, less than the corpus text itself) for that 5×
-    map CPU; downstream minhash/collect_set consumers are already
-    clustered by doc_id after the window, so no further exchange of
-    shingle data is needed. Hash values are hash-of-token-hashes rather
-    than hash-of-shingle-string — a relabeling of the shingle universe
-    that leaves every set relation (and so Jaccard, minhash, LSH recall)
-    unchanged, modulo negligible 64-bit collisions.
-    """
-    from pyspark.sql import Window
+    slice(tokens, i, n))))`` form re-slices and re-concatenates ~n·6 chars
+    inside an interpreted lambda per position — measured ~4× slower at
+    sf0.1 (1.63s vs 0.44s for the full shingle-set pass) and the same CPU
+    multiple at any scale. A LEAD-window variant was also measured (0.59s)
+    and rejected: it needs a corpus-wide shuffle+sort of token hashes that
+    this form simply doesn't have — the map-only shape is strictly better
+    at 100 TB. Hash values are hash-of-token-hashes rather than
+    hash-of-shingle-string — a relabeling of the shingle universe that
+    leaves every set/equality relation (and so Jaccard, minhash, LSH
+    recall, contamination flags) unchanged, modulo negligible 64-bit
+    collisions.
 
+    Docs shorter than n tokens contribute xxhash64 of their whole text as
+    a single row (the corpus-dedup convention for degenerate docs).
+    """
     from omnidata_etl_spark.queries._util import spread
 
     tokens = F.split("text", " ")
-    base = spread(docs).select("doc_id", "text", F.size(tokens).alias("k"))
+    ths = F.transform(tokens, lambda t: F.xxhash64(t))
+    base = spread(docs).select(
+        "doc_id", *extra, "text", ths.alias("ths"), F.size(tokens).alias("k")
+    )
     short = base.filter(F.col("k") < n).select(
-        "doc_id", F.array(F.xxhash64("text")).alias("tokens")
+        "doc_id", *extra, F.xxhash64("text").alias("sh")
     )
-    toks = (
-        base.filter(F.col("k") >= n)
-        .select("doc_id", "k", F.posexplode(tokens).alias("pos", "tok"))
-        .select("doc_id", "k", "pos", F.xxhash64("tok").alias("th"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    rolling = F.xxhash64(
-        F.col("th"), *[F.lead("th", j).over(w) for j in range(1, n)]
-    )
-    # The tail filter is positional (pos ≤ k−n), NOT a null check: xxhash64
-    # skips null inputs instead of returning null, so a tail "shingle"
-    # would silently hash fewer than n tokens.
     long_docs = (
-        toks.select("doc_id", "pos", "k", rolling.alias("sh"))
-        .filter(F.col("pos") <= F.col("k") - n)
+        base.filter(F.col("k") >= n)
+        .select(
+            "doc_id",
+            *extra,
+            "ths",
+            # one row per shingle START position (0-based pos from the
+            # sliced posexplode; the slice bounds it to k-n+1 starts)
+            F.posexplode(
+                F.expr(f"slice(ths, 1, size(ths) - {n - 1})")
+            ).alias("pos", "_h0"),
+        )
+        .select(
+            "doc_id",
+            *extra,
+            F.xxhash64(
+                *[F.expr(f"ths[pos + {j}]") for j in range(n)]
+            ).alias("sh"),
+        )
+    )
+    return long_docs.unionByName(short)
+
+
+def _shingle_sets_of(docs: DataFrame, n: int) -> DataFrame:
+    """`_shingle_sets` over an arbitrary (doc_id, text) frame: the distinct
+    rolling shingle hashes collected to one set-array per document (see
+    rolling_shingle_hashes for the formulation and its scale rationale)."""
+    return (
+        rolling_shingle_hashes(docs, n)
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("tokens"))
     )
-    return long_docs.unionByName(short)
 
 
 @query(

@@ -429,27 +429,22 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_fingerprint).
 
     Plan: the benchmark shingle set is DISTINCT + broadcast (eval sets are
-    tiny next to the corpus), so the training side never shuffles — each
-    task probes the broadcast hash set and the only exchange is the per-doc
-    boolean rollup. Shingles are compared as xxhash64 longs, hashed AFTER
-    the explode so the hash stays in whole-stage codegen and the broadcast
-    set is 8 bytes/shingle (was md5 hex, 2.5s → measured faster; the DuckDB
-    oracle joins the raw shingle strings — identical result modulo a 2^-64
-    hash collision). At 100 TB substitute a Bloom filter for the broadcast
-    set if the benchmark grows past broadcast size."""
-    docs = spread(table(spark, sf_dir, "documents"))
-    tokens = F.split("text", " ")
-    n = F.size(tokens)
-    shingles = F.when(
-        n >= FINGERPRINT_SHINGLE,
-        F.transform(
-            F.sequence(F.lit(1), n - (FINGERPRINT_SHINGLE - 1)),
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", F.slice(tokens, i, FINGERPRINT_SHINGLE))
-            ),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.col("text"))))
-    sh = docs.select("doc_id", "source", F.explode(shingles).alias("h"))
+    tiny next to the corpus), so the training side never shuffles for the
+    probe — each task checks the broadcast hash set and the only train-side
+    exchange is the per-doc boolean rollup. Shingles are compared as the
+    dedup family's rolling window-lead shingle hashes (8-byte longs — see
+    dedup.rolling_shingle_hashes for why this beats the interpreted
+    per-position transform ~5×); hash equality mirrors shingle-string
+    equality, so the contaminated flags match the DuckDB oracle's raw
+    string join modulo a 2^-64 collision. At 100 TB substitute a Bloom
+    filter for the broadcast set if the benchmark grows past broadcast
+    size."""
+    from omnidata_etl_spark.queries.dedup import rolling_shingle_hashes
+
+    docs = table(spark, sf_dir, "documents")
+    sh = rolling_shingle_hashes(
+        docs, FINGERPRINT_SHINGLE, extra=("source",)
+    ).withColumnRenamed("sh", "h")
     bench = sh.where(F.col("source") == "src0").select("h").distinct()
     # No distinct on the train side: the per-doc rollup is ANY-match
     # (count(bh) > 0), which duplicate shingles cannot change, so a

@@ -478,19 +478,29 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_os = Window.partitionBy("l_orderkey", "l_suppkey")
     w_o = Window.partitionBy("l_orderkey")
+    # Distinct-supplier counts come from a once-per-supplier row_number flag
+    # summed over the order window, NOT size(collect_set() OVER w): the set
+    # form materializes a fresh per-ROW hash set while it slides (O(rows ×
+    # suppliers) allocation in the window stage); the flag sum is a plain
+    # long accumulation.
     staged = (
         l1.withColumn("smax", F.max("l_shipdate").over(w_os))
-        .withColumn("m1", F.max("smax").over(w_o))
         .withColumn(
-            "n_supp", F.size(F.collect_set("l_suppkey").over(w_o))
+            "first_of_supp",
+            F.row_number().over(w_os.orderBy("l_shipdate")) == 1,
+        )
+        .withColumn("m1", F.max("l_shipdate").over(w_o))
+        .withColumn(
+            "n_supp",
+            F.sum(F.col("first_of_supp").cast("int")).over(w_o),
         )
         .withColumn(
             "n_top",
-            F.size(
-                F.collect_set(
-                    F.when(F.col("smax") == F.col("m1"), F.col("l_suppkey"))
-                ).over(w_o)
-            ),
+            F.sum(
+                F.when(
+                    F.col("first_of_supp") & (F.col("smax") == F.col("m1")), 1
+                ).otherwise(0)
+            ).over(w_o),
         )
         .withColumn(
             "m2",
