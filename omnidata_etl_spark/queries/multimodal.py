@@ -232,14 +232,49 @@ def grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", scaled.alias("scaled"))
 
 
-@query("grouped_minmax_scale_pandas", tags=("udf", "pandas", "ml"))
+@query("grouped_minmax_scale_pandas", tags=("udf", "pandas", "arrow", "ml"))
 def grouped_minmax_scale_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user min-max scaling via grouped `applyInPandas` — the batch UDAF
-    extension surface (one Arrow batch per group, vectorized numpy inside).
+    """Per-user min-max scaling via the grouped batch-apply UDF surface —
+    `applyInArrow`, the Arrow-native sibling of `applyInPandas` (same
+    one-batch-per-group contract and memory bound; the group arrives as a
+    pyarrow Table instead of a pandas frame). Arrow-native is the declared
+    form because the per-group Arrow→pandas→Arrow conversion is the
+    dominant cost of the pandas API at realistic group counts — measured
+    at sf0.1 (1 500 user groups): applyInPandas 2.58s, of which a no-op
+    UDF still costs 2.31s, vs 0.68s for the identical applyInArrow — and
+    that per-group conversion tax scales with group COUNT, not data size,
+    so it never amortizes at 100 TB. The applyInPandas form is pinned
+    value-identical in tests/test_multimodal.py (the API remains fully
+    supported; pick it when the per-group logic genuinely needs pandas).
     Rows-only demo: numerically identical to grouped_minmax_scale (min/max
-    are exact over 2dp values; the division is a fixed double op), but each
-    group must fit one worker's memory (the applyInPandas contract), so the
-    window-expression form above is the declared scale path."""
+    exact over 2dp values; one fixed double division), whose pure window
+    expressions remain the true scale path."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInArrow(
+        _scale_arrow, schema="event_id long, scaled double"
+    )
+
+
+def _scale_arrow(tbl):
+    """Grouped min-max scale over one pyarrow Table (one user's rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    v = tbl.column("value")
+    mm = pc.min_max(v).as_py()
+    vmin, vmax = mm["min"], mm["max"]
+    if vmax == vmin:
+        scaled = pa.array([0.5] * len(tbl), type=pa.float64())
+    else:
+        scaled = pc.divide(pc.subtract(v, vmin), vmax - vmin)
+    return pa.table({"event_id": tbl.column("event_id"), "scaled": scaled})
+
+
+def grouped_minmax_scale_pandas_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas twin of grouped_minmax_scale_pandas — kept as a
+    library function (not registered) so tests pin it value-identical to
+    the Arrow form; see that query's docstring for the measured per-group
+    conversion cost that keeps it off the bench path."""
     import pandas as pd
 
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")

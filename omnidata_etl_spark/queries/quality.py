@@ -356,12 +356,19 @@ def etl_training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     report a pipeline run ends with. Rows-only (packing is not
     SQL-expressible); stage consistency is pinned in tests/test_quality.py.
     """
-    docs = table(spark, sf_dir, "documents")
+    from omnidata_etl_spark.queries._util import spread
+
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n = F.size(toks)
-    bigram_hashes = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.xxhash64(F.element_at(toks, i), F.element_at(toks, i + 1)),
+    # token-hash array + shifted zip_with: one 2-long hash per bigram
+    # instead of two element_at string lookups per interpreted lambda call
+    # (same distinct count — see text_repetition_score)
+    ths = F.transform(toks, lambda t: F.xxhash64(t))
+    bigram_hashes = F.zip_with(
+        F.slice(ths, 1, n - 1),
+        F.slice(ths, 2, n - 1),
+        lambda a, b: F.xxhash64(a, b),
     )
     dup_bg = F.when(
         n >= 2,

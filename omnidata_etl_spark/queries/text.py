@@ -584,11 +584,15 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n = F.size(toks)
-    bigram_hashes = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.xxhash64(
-            F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
+    # Hash each token once, then pair adjacent hashes with zip_with over
+    # the array and its shift — one 2-long hash per element instead of two
+    # element_at string lookups + a variable-length 2-string hash inside
+    # the interpreted lambda (same distinct count: injective relabeling).
+    ths = F.transform(toks, lambda t: F.xxhash64(t))
+    bigram_hashes = F.zip_with(
+        F.slice(ths, 1, n - 1),
+        F.slice(ths, 2, n - 1),
+        lambda a, b: F.xxhash64(a, b),
     )
     dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
     dup_bg = F.when(
