@@ -171,9 +171,12 @@ def minhash_signatures(token_sets: DataFrame, num_hashes: int = NUM_HASHES) -> D
     5.0s) — higher-order array functions drop out of whole-stage codegen,
     while the aggregate path stays codegen'd AND its map-side partial MIN
     collapses the shuffle to one 32-long row per document, so the "explode
-    shuffles every shingle" objection doesn't apply. The repartition spreads
-    the explode+hash map work when the source is a single local file
-    partition; at cluster scale AQE elides it.
+    shuffles every shingle" objection doesn't apply. No repartition before
+    the explode: _shingle_sets' arrays arrive already collect_set-clustered
+    by doc_id (and spread() upstream has fanned the scan), so an explicit
+    repartition(doc_id) here re-shuffled the token ARRAYS — the heaviest
+    intermediate in the pipeline — once per consumer for nothing (r3: it
+    predated the set-building groupBy and survived it).
 
     Each exploded token is collapsed to one 64-bit hash first and the
     32-member family then hashes that fixed 8-byte long — 1 variable-length
@@ -182,11 +185,9 @@ def minhash_signatures(token_sets: DataFrame, num_hashes: int = NUM_HASHES) -> D
     is a single word-mix; the projection also keeps string token sets, as the
     unit tests supply, on the same code path.)
     """
-    tok = (
-        token_sets.repartition(F.col("doc_id"))
-        .select("doc_id", F.explode("tokens").alias("token"))
-        .select("doc_id", F.xxhash64("token").alias("th"))
-    )
+    tok = token_sets.select(
+        "doc_id", F.explode("tokens").alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("th"))
     # One parsed struct-of-aggregates instead of num_hashes Column objects:
     # every F.min(F.xxhash64(F.lit(i), ...)) built Python-side is ~4 py4j
     # round trips, and the 32-wide loop cost ~200ms of driver latency per
