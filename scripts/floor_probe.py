@@ -2,84 +2,55 @@
 import time
 
 import pyspark.sql.functions as F
-from pyspark.sql import Window
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import spread
 
 
-def mc(label, df, n=3):
+def mp(label, build, n=3):
     best = 1e9
     for i in range(n + 1):
         t0 = time.perf_counter()
-        df.count()
+        build().toPandas()
         dt = time.perf_counter() - t0
         if i:
             best = min(best, dt)
-    print(f"{label:44s} {best*1000:8.1f} ms")
+    print(f"{label:52s} {best*1000:8.1f} ms")
 
 
-docs = spread(table(spark, SF, "documents"))  # noqa: F821
-spark.catalog.clearCache()  # noqa: F821
-n = 5
-tokens = F.split("text", " ")
+ev = table(spark, SF, "events").select("event_id", "user_id", "value")  # noqa: F821
+import pandas as pd
 
-# A: current — string shingles
-shA = F.when(
-    F.size(tokens) >= n,
-    F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, n))),
-        )
-    ),
-).otherwise(F.array(F.xxhash64(F.col("text"))))
-dfA = docs.select("doc_id", shA.alias("tokens")).select(
-    "doc_id", F.explode("tokens").alias("th")
-)
-mc("A strings (current)", dfA.groupBy("doc_id").agg(F.sum("th").alias("s")))
 
-# B: per-token hash array, then hash-of-5-hashes via element_at
-ths = F.transform(tokens, lambda t: F.xxhash64(t))
-shB = F.when(
-    F.size(tokens) >= n,
-    F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(ths, i + k) for k in range(n)]
-            ),
-        )
-    ),
-).otherwise(F.array(F.xxhash64(F.col("text"))))
-dfB = docs.select("doc_id", shB.alias("tokens")).select(
-    "doc_id", F.explode("tokens").alias("th")
-)
-mc("B hash-of-token-hashes", dfB.groupBy("doc_id").agg(F.sum("th").alias("s")))
+def scale(pdf):
+    vmin, vmax = pdf["value"].min(), pdf["value"].max()
+    if vmax == vmin:
+        scaled = pd.Series(0.5, index=pdf.index)
+    else:
+        scaled = (pdf["value"] - vmin) / (vmax - vmin)
+    return pd.DataFrame({"event_id": pdf["event_id"], "scaled": scaled})
 
-# B2: same but hash array bound via a projection first (no recompute per element)
-dfB2 = docs.select("doc_id", "text", ths.alias("ths"), F.size(tokens).alias("k"))
-shB2 = F.when(
-    F.col("k") >= n,
-    F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.col("k") - (n - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("ths"), i + k) for k in range(n)]
-            ),
-        )
-    ),
-).otherwise(F.array(F.xxhash64(F.col("text"))))
-dfB2 = dfB2.select("doc_id", shB2.alias("tokens")).select(
-    "doc_id", F.explode("tokens").alias("th")
-)
-mc("B2 hash array projected first", dfB2.groupBy("doc_id").agg(F.sum("th").alias("s")))
 
-# C: posexplode + window lead (all codegen) + per-doc agg
-te = docs.select("doc_id", F.posexplode(tokens).alias("pos", "tok")).select(
-    "doc_id", "pos", F.xxhash64("tok").alias("th")
-)
-w = Window.partitionBy("doc_id").orderBy("pos")
-sh = F.xxhash64(*([F.col("th")] + [F.lead("th", k).over(w) for k in range(1, n)]))
-dfC = te.select("doc_id", sh.alias("th")).where(F.col("th").isNotNull())
-mc("C window-lead rolling", dfC.groupBy("doc_id").agg(F.sum("th").alias("s")))
+def noop(pdf):
+    return pd.DataFrame({"event_id": pdf["event_id"], "scaled": 0.5})
+
+
+mp("applyInPandas scale (current)", lambda: ev.groupBy("user_id").applyInPandas(scale, "event_id long, scaled double"))
+mp("applyInPandas noop", lambda: ev.groupBy("user_id").applyInPandas(noop, "event_id long, scaled double"))
+
+import pyarrow as pa
+
+
+def scale_arrow(tbl: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    v = tbl.column("value")
+    mm = pc.min_max(v).as_py()
+    vmin, vmax = mm["min"], mm["max"]
+    if vmax == vmin:
+        scaled = pa.array([0.5] * len(tbl), type=pa.float64())
+    else:
+        scaled = pc.divide(pc.subtract(v, vmin), vmax - vmin)
+    return pa.table({"event_id": tbl.column("event_id"), "scaled": scaled})
+
+
+mp("applyInArrow scale", lambda: ev.groupBy("user_id").applyInArrow(scale_arrow, "event_id long, scaled double"))
