@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.registry import query
+from omnidata_etl_spark.session import default_parallelism
 
 # MinHash-LSH geometry: 32 hashes = 8 bands × 4 rows ⇒ candidate threshold
 # s where collision prob 1-(1-s^4)^8 ≈ 0.5 at s ≈ 0.56.
@@ -319,6 +320,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
         )
     )
+    # 40 rows need no fan-out: mark the frame as already wide so spread()
+    # inside the shared shingle path doesn't insert a 32-way repartition
+    # whose per-stage task overhead dwarfs the probe's compute.
+    probe_corpus._omnidata_splits = default_parallelism()
     probe_sets = _shingle_sets_of(probe_corpus, n=5).persist()
     probe_pairs = exact_jaccard(
         lsh_candidate_pairs(minhash_signatures(probe_sets)), probe_sets
