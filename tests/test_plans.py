@@ -268,3 +268,46 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     )
     assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
     assert j.count() > 0  # pruned scan still returns the matching statuses
+
+
+def test_rolling_shingles_are_map_only(spark, sf_dir):
+    """The shingle-hash producer must stay a pure map: no Window, no
+    Exchange anywhere in its plan (the r3 formulation war: the LEAD-window
+    variant cost a corpus-wide shuffle+sort; the chosen posexplode +
+    0-based array-index form has none). A regression here silently adds a
+    1x-corpus shuffle to every dedup/decontamination pipeline."""
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.dedup import rolling_shingle_hashes
+
+    df = rolling_shingle_hashes(table(spark, sf_dir, "documents"), 5)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    # spread()'s round-robin fan-out is the only allowed exchange: no
+    # hash/range partitioning means no data-dependent shuffle anywhere
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_minhash_pipeline_exchange_budget(spark, sf_dir):
+    """dedup_near_minhash's main pipeline must not re-shuffle the shingle
+    ARRAYS: after the collect_set clustering, minhash consumes them in
+    place (r3 removed a redundant repartition(doc_id) that shuffled the
+    heaviest intermediate once per consumer). Pin the property by counting
+    hashpartitioning exchanges keyed on doc_id-bearing columns: the set
+    build + signature agg account for the expected budget."""
+    from omnidata_etl_spark.queries.dedup import (
+        _shingle_sets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_shingle_sets(spark, sf_dir, n=5))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        sigs._jdf.queryExecution(), "formatted"
+    )
+    # one exchange for the collect_set groupBy, one for the signature
+    # groupBy (the union with short docs breaks co-partitioning), plus the
+    # spread round-robin — but NO third doc_id hash exchange
+    n_hash_exchanges = plan.count("hashpartitioning(doc_id")
+    assert n_hash_exchanges <= 2, plan[:2000]
