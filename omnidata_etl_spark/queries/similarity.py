@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import spread
 from omnidata_etl_spark.registry import query
 
 EMBED_DIM = 64
@@ -71,7 +72,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding")
     )
-    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    joined = spread(emb.filter(F.col("vec_id") != 0)).crossJoin(
+        F.broadcast(q)
+    )
     cos = cosine(F.col("embedding"), F.col("q_embedding"))
     return (
         joined.select("vec_id", cos.alias("cosine"))
@@ -114,7 +117,7 @@ def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    joined = emb.crossJoin(F.broadcast(q)).filter(
+    joined = spread(emb).crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     cos = cosine(F.col("embedding"), F.col("qe"))
@@ -188,7 +191,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py asserts the same recall ≥ 0.5 bound the
     hyperplane family guarantees at these dimensions).
     """
-    emb = table(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket("embedding")
     )
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -206,7 +209,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrounded, matching similarity_cosine_topk's ranking exactly (the
     # 4dp display rounding above could flip ties at the top-k boundary)
     brute = (
-        table(spark, sf_dir, "embeddings")
+        spread(table(spark, sf_dir, "embeddings"))
         .crossJoin(F.broadcast(q.select("qe")))
         .filter(F.col("vec_id") != 0)
         .select(
@@ -319,7 +322,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = ((x[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1))
 
-    assigned = emb.withColumn("cid", nearest_cid(F.col("embedding")))
+    assigned = spread(emb).withColumn("cid", nearest_cid(F.col("embedding")))
     qe = F.array(*[F.lit(float(v)) for v in qv])
     cos = F.round(cosine(F.col("embedding"), qe), 4)
     return (
@@ -334,7 +337,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ 0.95 among vectors sharing an
     LSH bucket (blocked all-pairs — the O(n²/buckets) scale path). Rows-only."""
-    emb = table(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket("embedding")
     )
     a = emb.select(

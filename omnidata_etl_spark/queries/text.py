@@ -170,7 +170,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile, argmax with a fixed preference order as the tiebreak (the
     standard cheap lang-ID shape: profiles → scores → argmax). Shuffle-free
     map work."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     tokens = F.split("text", " ")
 
     def score(words: tuple[str, ...]):
@@ -277,7 +277,7 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Averages of per-row double ratios go through DECIMAL(18,9) per row so the
     sum is independent of partition/summation order (see _util docs).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     tokens = F.split("text", " ")
     n_tokens = F.size(tokens)
     stop_n = F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))
@@ -315,7 +315,7 @@ def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: array_distinct before explode does per-doc dedup map-side, so the
     shuffle carries each (doc, word) once — the scale path for 100 TB corpora
     (no COUNT(DISTINCT doc_id) re-shuffle; the count is a plain SUM)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     return (
         docs.select(
             F.explode(
@@ -389,7 +389,7 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, codegen'd, shuffle-free): the standard corpus-cleaning pass
     before n-gram/stats passes, emitted as cleaned text + removal count so
     downstream ops keep an audit trail."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     kept = F.filter(toks, lambda t: ~t.isin(*STOPWORDS))
     return docs.select(
