@@ -105,12 +105,33 @@ def agg_approx_percentiles_checked(spark: SparkSession, sf_dir: str) -> DataFram
     o = table(spark, sf_dir, "orders")
     acc = 1_000  # GK relative rank error eps = 1/acc
     eps = 1.0 / acc
-    sketched = o.groupBy("o_orderstatus").agg(
+    # exact side via the same sorted-array interpolation as agg_percentiles
+    # (one collect per group instead of two Percentile UDAF hash maps);
+    # the array is consumed and dropped HERE so only 3 scalar rows reach
+    # the broadcast join below
+    grouped = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.percentile("o_totalprice", 0.5).alias("exact_p50"),
+        F.array_sort(F.collect_list("o_totalprice")).alias("v"),
         F.percentile_approx("o_totalprice", 0.5, acc).alias("approx_p50"),
-        F.percentile("o_totalprice", 0.9).alias("exact_p90"),
         F.percentile_approx("o_totalprice", 0.9, acc).alias("approx_p90"),
+    )
+
+    def interp(p):
+        pos = F.lit(p) * (F.size("v") - 1)
+        lo = F.floor(pos).cast("int")
+        vlo = F.element_at("v", lo + 1)
+        vhi = F.element_at("v", lo + 2)
+        return F.when(lo + 2 > F.size("v"), vlo).otherwise(
+            vlo * ((lo + 1) - pos) + vhi * (pos - lo)
+        )
+
+    sketched = grouped.select(
+        "o_orderstatus",
+        "n_rows",
+        interp(0.5).alias("exact_p50"),
+        "approx_p50",
+        interp(0.9).alias("exact_p90"),
+        "approx_p90",
     )
     keys = [
         "o_orderstatus", "n_rows",
