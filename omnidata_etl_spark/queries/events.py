@@ -282,9 +282,17 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO string: the driver's value hash does not canonicalize date-vs-
     datetime64 dtypes (the CORRECTNESS_r01 cast_typed_load lesson)."""
     ev = table(spark, sf_dir, "events")
-    weeks = ev.select(
-        "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
-    ).distinct()
+    # persisted: the shifted self-join broadcasts one side, so without the
+    # cache both sides re-run the events scan + distinct; materialized it
+    # is one row per (user, active-week) — far smaller than the event log
+    weeks = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        )
+        .distinct()
+        .persist()
+    )
     nxt = weeks.select(
         F.col("user_id").alias("n_user"),
         F.date_sub("week_start", 7).alias("n_week"),

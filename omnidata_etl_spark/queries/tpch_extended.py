@@ -275,19 +275,23 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The max comparison happens on exact int64 revenue units and only the
     output becomes double, so ties and the winner are engine-independent.
 
-    Plan: revenue0 feeds two branches (the scalar MAX and the join), which
-    Spark plans as two independent aggregation subtrees — two scans of
-    lineitem, BOTH pruned by the pushed quarter filter, so the duplicate
-    branch costs one extra pruned quarter-scan, not a full-table read
-    (pinned by tests/test_plans.py::test_q15_scan_budget_and_pushdown).
+    Plan: revenue0 feeds two branches (the scalar MAX and the join).
+    Persisted: the branches plan as independent subtrees (the MAX side
+    broadcasts, so ReusedExchange cannot dedupe them) and would otherwise
+    each re-run the pruned quarter-scan + aggregation; materialized it is
+    one row per active supplier — the canonical cache-the-derived-view
+    shape for TPC-H Q15's revenue0 VIEW. Scan budget still pinned by
+    tests/test_plans.py::test_q15_scan_budget_and_pushdown.
     The 1-row MAX broadcasts back; the winner comparison stays decimal."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = table(spark, sf_dir, "supplier")
-    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(rev_units()).alias("total_revenue_units")
+    revenue0 = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_units()).alias("total_revenue_units"))
+        .persist()
     )
     max_rev = revenue0.agg(F.max("total_revenue_units").alias("max_rev"))
     return (

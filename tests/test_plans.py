@@ -140,14 +140,22 @@ def test_q8_dims_broadcast_facts_shuffle(spark, sf_dir):
 
 
 def test_q15_scan_budget_and_pushdown(spark, sf_dir):
-    """revenue0 feeds both the scalar MAX and the join, so lineitem appears
-    at most twice (once per branch; formatted explain prints every node
-    twice — tree + details — hence the x2 on counts) and BOTH scans carry
-    the pushed quarter filter, so neither branch reads beyond the quarter."""
+    """revenue0 is a persisted derived view feeding both the scalar MAX and
+    the join: lineitem must be scanned ONCE (inside the cached relation,
+    with the quarter filter pushed) and both consumers must read the cache
+    (InMemoryTableScan), never a second parquet scan of the fact table."""
     plan = _plan(spark, sf_dir, "tpch_q15_top_supplier")
-    assert plan.count("Scan parquet") <= 2 * 3  # lineitem x2 + supplier
-    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
-    assert len(pushed) >= 2
+    assert "InMemoryTableScan" in plan
+    pushed = [
+        l
+        for l in plan.splitlines()
+        if "PushedFilters" in l and "l_shipdate" in l
+    ]
+    assert len(pushed) >= 1
+    # both consumers read the cache: the cached relation is referenced at
+    # least twice (the InMemoryRelation's own details re-print its inner
+    # parquet scan, so raw scan counts cannot isolate distinct scans)
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_q19_extracts_common_equi_key(spark, sf_dir):
