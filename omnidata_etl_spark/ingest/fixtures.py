@@ -78,6 +78,16 @@ def _jsonl() -> str:
     return "\n".join(lines) + "\n"
 
 
+def _xml() -> str:
+    rows = []
+    for r in _ROWS:
+        cells = "".join(
+            f"<{h}>{v}</{h}>" for h, v in zip(_HEADERS, r)
+        )
+        rows.append(f"  <row>{cells}</row>")
+    return "<people>\n" + "\n".join(rows) + "\n</people>\n"
+
+
 def _withid_csv() -> str:
     headers = ("ID",) + _HEADERS[1:]
     lines = [",".join(headers)]
@@ -102,6 +112,7 @@ FIXTURES: dict[str, str] = {
     "people_sparse.csv": _sparse_csv(),
     "people_blanklines.csv": _blanklines_csv(),
     "people.jsonl": _jsonl(),
+    "people.xml": _xml(),
     "people_noid.csv": _csv(","),  # no `id` column → surrogate key injected
     "people_withid.csv": _withid_csv(),  # has ID → no injection (R12)
     "people_badtypes.csv": _badtypes_csv(),

@@ -133,6 +133,27 @@ def read_json(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*out)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """XML scan via Spark 4's built-in XML source (the spark-xml package
+    merged upstream — no external jar). Generalizes the reference's
+    format-dispatch upload (R1) to the remaining common exchange format;
+    nested elements are stringified exactly like JSON objects (R11 parity)
+    so downstream typing stays user-directed text-first."""
+    ensure_tuned(spark)
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .load(path)
+    )
+    out = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (T.StructType, T.MapType, T.ArrayType)):
+            out.append(F.to_json(F.col(field.name)).alias(field.name))
+        else:
+            out.append(F.col(field.name))
+    return df.select(*out)
+
+
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel scan (R3): first sheet, header row, blank cells → NULL
     (reference `defval:""` normalized to NULL per R10; /root/reference
@@ -176,6 +197,7 @@ _EXT_READERS = {
     ".ndjson": read_json,
     ".xlsx": read_excel,
     ".xls": read_excel,
+    ".xml": read_xml,
 }
 
 

@@ -190,3 +190,17 @@ def test_gzip_jsonl_dispatches_to_json_reader(spark, tmp_path):
     want = read_any(spark, src)
     assert sorted(got.columns) == sorted(want.columns)
     assert got.count() == want.count()
+
+
+def test_xml_ingest_matches_csv_rows(spark):
+    """Spark-4 native XML source: same logical people table as the CSV twin
+    (XML infers types, so compare values loosely; schema order is the
+    source's inference order, not file order)."""
+    xml = read_any(spark, fixture_path("people.xml"))
+    assert sorted(xml.columns) == sorted(PEOPLE_HEADERS)
+    rows = {int(r["person_id"]): r for r in xml.collect()}
+    assert len(rows) == N_PEOPLE
+    ada = rows[1]
+    assert ada["full_name"] == "Ada Lovelace"
+    assert float(ada["balance"]) == 100.50
+    assert ada["active"] in (True, "true")
