@@ -480,6 +480,13 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left_semi",
     )
+    # One explicit okey exchange serves BOTH window groups:
+    # hashpartitioning(okey) satisfies the (okey, skey) window's clustered
+    # distribution (same okey ⇒ same partition ⇒ same (okey,skey)
+    # co-location), so the finer window re-sorts in place instead of
+    # re-exchanging — one shuffle of the F-order sliver instead of two
+    # (verified: the plan carries exactly one hashpartitioning exchange).
+    l1 = l1.repartition(F.col("l_orderkey"))
     w_os = Window.partitionBy("l_orderkey", "l_suppkey")
     w_o = Window.partitionBy("l_orderkey")
     # Distinct-supplier counts come from a once-per-supplier row_number flag
