@@ -206,11 +206,14 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("l_returnflag", "salt").agg(
         F.count("*").alias("pn"),
-        F.sum(F.col("l_quantity").cast(DEC)).alias("pq"),
+        # int64 cents fast path (see _util.cents): the salted partial sums
+        # are exact scaled integers, so the two-phase re-aggregation stays
+        # in codegen's primitive loop and is still provably order-proof
+        F.sum(cents("l_quantity")).alias("pq"),
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n_rows"),
-        F.sum("pq").cast("double").alias("sum_qty"),
+        (F.sum("pq") / 100.0).alias("sum_qty"),
     )
 
 
