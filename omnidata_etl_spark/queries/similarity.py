@@ -69,13 +69,20 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, while ROUND(double, n) is not (Spark rounds the shortest
     decimal repr, DuckDB the exact binary)."""
     emb = table(spark, sf_dir, "embeddings")
+    # query norm rides the 1-row broadcast: computing norm(q) per corpus
+    # row re-folded the constant 64-element array once per comparison
+    # (a third of the cosine's work); the value (and so the oracle hash)
+    # is bit-identical either way
     q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        norm(F.col("embedding")).alias("qn"),
     )
     joined = spread(emb.filter(F.col("vec_id") != 0)).crossJoin(
         F.broadcast(q)
     )
-    cos = cosine(F.col("embedding"), F.col("q_embedding"))
+    cos = dot(F.col("embedding"), F.col("q_embedding")) / (
+        norm(F.col("embedding")) * F.col("qn")
+    )
     return (
         joined.select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -115,12 +122,16 @@ def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),  # once per query, not per row
     )
     joined = spread(emb).crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = cosine(F.col("embedding"), F.col("qe"))
+    cos = dot(F.col("embedding"), F.col("qe")) / (
+        norm(F.col("embedding")) * F.col("qn")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
@@ -193,14 +204,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket("embedding")
-    )
+    ).persist()
     q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), F.col("bucket").alias("q_bucket")
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
+        F.col("bucket").alias("q_bucket"),
     )
     cand = emb.crossJoin(F.broadcast(q)).filter(
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != 0)
     )
-    cos = F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+    cos = F.round(
+        dot(F.col("embedding"), F.col("qe"))
+        / (norm(F.col("embedding")) * F.col("qn")),
+        4,
+    )
     approx = (
         cand.select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -210,10 +227,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4dp display rounding above could flip ties at the top-k boundary)
     brute = (
         spread(table(spark, sf_dir, "embeddings"))
-        .crossJoin(F.broadcast(q.select("qe")))
+        .crossJoin(F.broadcast(q.select("qe", "qn")))
         .filter(F.col("vec_id") != 0)
         .select(
-            "vec_id", cosine(F.col("embedding"), F.col("qe")).alias("b_cos")
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("qe"))
+                / (norm(F.col("embedding")) * F.col("qn"))
+            ).alias("b_cos"),
         )
         .orderBy(F.desc("b_cos"), F.asc("vec_id"))
         .limit(10)
@@ -339,15 +360,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucket (blocked all-pairs — the O(n²/buckets) scale path). Rows-only."""
     emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket("embedding")
-    )
+    ).persist()
+    # norms computed once per VECTOR, not once per candidate pair — the
+    # blocked join multiplies pair count, never vector count
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("norm_a"),
         "bucket",
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("norm_b"),
         F.col("bucket").alias("bucket_b"),
     )
     pairs = a.join(
@@ -355,7 +380,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") == F.col("bucket_b"))
         & (F.col("vec_a") < F.col("vec_b")),
     )
-    cos = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4)
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("norm_a") * F.col("norm_b")),
+        4,
+    )
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
         F.col("cosine") >= 0.95
     )
