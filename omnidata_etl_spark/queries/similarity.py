@@ -354,15 +354,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_cosine", tags=("similarity", "dedup"))
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.95 among vectors sharing an
-    LSH bucket (blocked all-pairs — the O(n²/buckets) scale path). Rows-only."""
-    emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", lsh_bucket("embedding")
-    ).persist()
-    # norms computed once per VECTOR, not once per candidate pair — the
-    # blocked join multiplies pair count, never vector count
+def blocked_cosine_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
+    """LSH-blocked near-dup pairs over a (vec_id, embedding) frame:
+    candidates share a random-hyperplane bucket, verified by exact cosine ≥
+    threshold. Norms are computed once per VECTOR, not once per candidate
+    pair — the blocked join multiplies pair count, never vector count."""
+    emb = (
+        vectors.withColumn("bucket", lsh_bucket("embedding")).persist()
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -386,8 +385,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= 0.95
+        F.col("cosine") >= threshold
     )
+
+
+@query("dedup_embedding_cosine", tags=("similarity", "dedup"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.95 among vectors sharing an
+    LSH bucket (blocked all-pairs — the O(n²/buckets) scale path). Rows-only.
+
+    Self-evidencing (the near_minhash pattern): ``planted_recall`` on every
+    row is the fraction of 10 planted (original, perturbed-copy) vector
+    pairs the SAME bucket→join→cosine stack recovers, computed on a 20-row
+    mini-corpus (bucket collision for a pair depends only on that pair's
+    own vectors, so planted recall is identical to planting corpus-wide).
+    The perturbation bumps one deterministic dimension by 0.05, so the copy
+    is a true near-duplicate (cosine just under 1) that CAN legitimately
+    fall out of the bucket when the bumped dimension flips a hyperplane
+    sign — exactly the miss probability recall measures.
+
+    The synthetic embeddings corpus contains NO true ≥0.95 pairs (random
+    64-dim vectors), so the recall row also rides a sentinel summary row
+    (vec_a = vec_b = −1, NULL cosine): the empty main result is then
+    visibly a true negative from a stack proven live on the planted pairs,
+    not a silently broken pipeline."""
+    _POFF = 10_000_000  # sentinel id offset, far above any real vec_id
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    main = blocked_cosine_pairs(spread(raw), 0.95)
+
+    originals = raw.orderBy("vec_id").limit(10)
+    bump = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.when(i == F.pmod(F.col("vec_id"), F.lit(EMBED_DIM)), 0.05)
+        .otherwise(0.0),
+    )
+    probe_corpus = originals.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(
+        originals.select(
+            (F.col("vec_id") + _POFF).alias("vec_id"),
+            bump.alias("embedding"),
+        )
+    )
+    probe_pairs = blocked_cosine_pairs(probe_corpus, 0.95)
+    recall = (
+        probe_pairs.filter(F.col("vec_b") == F.col("vec_a") + _POFF)
+        .agg(F.count(F.lit(1)).alias("n_found"))
+        .crossJoin(originals.agg(F.count(F.lit(1)).alias("n_pl")))
+        .select(
+            (F.col("n_found").cast("double") / F.col("n_pl")).alias(
+                "planted_recall"
+            )
+        )
+    )
+    sentinel = recall.select(
+        F.lit(-1).cast("long").alias("vec_a"),
+        F.lit(-1).cast("long").alias("vec_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        "planted_recall",
+    )
+    return main.crossJoin(F.broadcast(recall)).unionByName(sentinel)
 
 
 @query("embedding_label_centroids", tags=("similarity", "ml"))

@@ -85,3 +85,18 @@ def test_quantize_int8_roundtrip_bound(spark, sf_dir):
         for c, x in zip(q8, orig[vid]):
             dequant = mn + (c + 128) * step
             assert abs(dequant - float(x)) <= step + 1e-12, (vid, c, x)
+
+
+def test_embedding_dedup_planted_recall(spark, sf_dir):
+    """The blocked-cosine dedup must recover most planted near-identical
+    pairs through its own bucket->join->cosine stack, and must surface the
+    recall on a sentinel row even when the corpus holds no true pairs."""
+    from omnidata_etl_spark.registry import all_specs
+
+    rows = all_specs()["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    sentinel = [r for r in rows if r["vec_a"] == -1 and r["vec_b"] == -1]
+    assert len(sentinel) == 1
+    assert sentinel[0]["cosine"] is None
+    assert sentinel[0]["planted_recall"] >= 0.5
+    for r in rows:
+        assert r["planted_recall"] == sentinel[0]["planted_recall"]
