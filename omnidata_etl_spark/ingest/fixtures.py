@@ -79,10 +79,12 @@ def _jsonl() -> str:
 
 
 def _xml() -> str:
+    from xml.sax.saxutils import escape
+
     rows = []
     for r in _ROWS:
         cells = "".join(
-            f"<{h}>{v}</{h}>" for h, v in zip(_HEADERS, r)
+            f"<{h}>{escape(v)}</{h}>" for h, v in zip(_HEADERS, r)
         )
         rows.append(f"  <row>{cells}</row>")
     return "<people>\n" + "\n".join(rows) + "\n</people>\n"

@@ -45,7 +45,17 @@ def local_df(spark, rows, schema: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     import pandas as pd
 
-    names = [f.split()[0] for f in schema.split(",")]
+    # top-level comma split: parameterized types (decimal(18,2),
+    # array<struct<...>>) carry nested commas a bare split would shred
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(schema[start:i].strip().split()[0])
+            start = i + 1
     return spark.createDataFrame(
         pd.DataFrame(list(rows), columns=names), schema
     )

@@ -11,6 +11,14 @@ Three tiers, in ascending fuzziness:
 MinHash/SimHash families are engine-specific bit twiddling → rows-only checks
 (SURVEY.md §7.3 #5). The exact-jaccard *verification* of candidates is real
 set arithmetic and is unit-tested against planted near-duplicates.
+
+Cache discipline: the pipeline persist()s exactly its tiny derived frames
+(shingle sets, banded signatures, verified pairs) and deliberately never
+unpersists them — identical logical plans across the dedup family then share
+one cached copy per session (cluster_canonical/cluster_sizes/near_minhash
+hit the same entries). Lifetime is session-scoped by design: bench.py
+clearCache()s between passes and test sessions are bounded; a long-lived
+serving deployment would swap this for explicit view lifecycle management.
 """
 
 from __future__ import annotations

@@ -59,6 +59,9 @@ def duck(name, n=3, sf=SF):
             f"CREATE VIEW {tab} AS SELECT * FROM read_parquet('{sf}/{tab}.parquet')"
         )
     q = specs[name].oracle
+    if q is None:
+        print(name, "has no DuckDB oracle (rows-only)")
+        return None
     con.execute(q).fetchall()
     best = 1e9
     for _ in range(n):
