@@ -62,3 +62,23 @@ def test_mirror_parity(spark):
         ).collect()[0]
 
     assert fp(mirrored) == fp(direct)
+
+
+def test_local_df_handles_parameterized_types(spark):
+    """local_df's top-level schema split must survive nested commas in
+    parameterized types (decimal(18,2), array<struct<...>>) — a bare
+    split-on-comma shredded the column-name list (r3 review fix)."""
+    from decimal import Decimal
+
+    from omnidata_etl_spark.queries._util import local_df
+
+    df = local_df(
+        spark,
+        [(1, Decimal("2.50"), [3, 4])],
+        "a bigint, b decimal(18,2), c array<bigint>",
+    )
+    row = df.collect()[0]
+    assert row["a"] == 1
+    assert row["b"] == Decimal("2.50")
+    assert list(row["c"]) == [3, 4]
+    assert df.columns == ["a", "b", "c"]
