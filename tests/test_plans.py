@@ -176,13 +176,19 @@ def test_q21_single_scan_window_form(spark, sf_dir):
     assert plan.count("lineitem") == 1
 
 
-def test_q17_q18_single_scan_window_form(spark, sf_dir):
-    """Round-3 Q17/Q18: the per-group subquery aggregate is a window over
-    the single fact scan — no second lineitem leg."""
-    for q in ("tpch_q17_small_quantity_revenue", "tpch_q18_large_orders"):
-        plan = _plan(spark, sf_dir, q)
-        assert "Window" in plan, q
-        assert plan.count("lineitem") == 1, q
+def test_q17_q18_single_scan_forms(spark, sf_dir):
+    """Round-3 Q17/Q18: one lineitem leg each. Q17 keeps the window form
+    (its filter is LINE-level against a per-part aggregate); Q18's output
+    is pure order-level, so it must plan as a plain partial aggregation —
+    HashAggregate with NO Window (a window would sort every fact row the
+    partial agg collapses map-side)."""
+    plan17 = _plan(spark, sf_dir, "tpch_q17_small_quantity_revenue")
+    assert "Window" in plan17
+    assert plan17.count("lineitem") == 1
+    plan18 = _plan(spark, sf_dir, "tpch_q18_large_orders")
+    assert "Window" not in plan18
+    assert "HashAggregate" in plan18
+    assert plan18.count("lineitem") == 1
 
 
 def test_runtime_bloom_filter_prefilters_probe_side(spark, sf_dir):
