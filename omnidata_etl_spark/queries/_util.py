@@ -41,7 +41,13 @@ def local_df(spark, rows, schema: str) -> DataFrame:
     exactly as in the list form. Empty ``rows`` falls back to the plain
     path (Arrow conversion of a columnless pandas frame is finicky).
     """
-    if not rows:
+    if not rows or any(v is None for row in rows for v in row):
+        # Empty rows: Arrow conversion of a columnless pandas frame is
+        # finicky. None cells: pandas would coerce a numeric column with
+        # None to float64 NaN, which errors (or silently changes
+        # semantics) against a long-typed schema column, while the list
+        # path yields a clean NULL — so fall back whenever a None appears
+        # (r3 ADVICE; these frames are tiny, the slow path is fine).
         return spark.createDataFrame(rows, schema)
     import pandas as pd
 

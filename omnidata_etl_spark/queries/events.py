@@ -284,7 +284,10 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     # persisted: the shifted self-join broadcasts one side, so without the
     # cache both sides re-run the events scan + distinct; materialized it
-    # is one row per (user, active-week) — far smaller than the event log
+    # is one row per (user, active-week) — far smaller than the event log.
+    # Deliberately never unpersisted: same session-scoped cache discipline
+    # as dedup.py's module docstring (bench clearCache()s between passes;
+    # a long-lived deployment would manage view lifecycle explicitly).
     weeks = (
         ev.select(
             "user_id",

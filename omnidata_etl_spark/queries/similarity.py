@@ -202,6 +202,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py asserts the same recall ≥ 0.5 bound the
     hyperplane family guarantees at these dimensions).
     """
+    # persisted, never unpersisted: session-scoped cache discipline (see
+    # dedup.py module docstring) — the bucketed corpus is consumed by both
+    # the query-row filter and the candidate join.
     emb = spread(table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket("embedding")
     ).persist()
@@ -359,6 +362,9 @@ def blocked_cosine_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
     candidates share a random-hyperplane bucket, verified by exact cosine ≥
     threshold. Norms are computed once per VECTOR, not once per candidate
     pair — the blocked join multiplies pair count, never vector count."""
+    # persisted, never unpersisted: session-scoped cache discipline (see
+    # dedup.py module docstring) — both sides of the blocked self-join
+    # read this frame.
     emb = (
         vectors.withColumn("bucket", lsh_bucket("embedding")).persist()
     )

@@ -288,6 +288,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = table(spark, sf_dir, "supplier")
+    # persisted (and never unpersisted — session-scoped cache discipline,
+    # see dedup.py module docstring): revenue0 feeds both the scalar MAX
+    # (broadcast back) and the supplier join; ReusedExchange cannot dedupe
+    # a broadcast consumer, so without the cache the lineitem scan+agg
+    # runs twice. One row per supplier — tiny at any scale.
     revenue0 = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(rev_units()).alias("total_revenue_units"))

@@ -35,13 +35,6 @@ def q21_agg(sf=SF):  # noqa: F821
     S = l1.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("smax")
     )
-    O = S.groupBy("l_orderkey").agg(
-        F.max("smax").alias("m1"),
-        F.count(F.lit(1)).alias("n_supp"),
-        F.max(F.when(F.col("smax") < F.max("smax").over, None)).alias("x")
-        if False
-        else F.lit(0).alias("_dummy"),
-    )
     # two-phase: m1 first, then m2/n_top need m1 — do it in one agg via
     # max_by-free formulation: m2 = max of smax where smax < m1 requires m1;
     # compute via sort-free trick: top-2 distinct smax values per order
