@@ -54,17 +54,85 @@ def has_id_column(df: DataFrame) -> bool:
 
 
 def add_surrogate_key(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
-    """Inject a dense 1..N `id` iff no case-insensitive `id` exists (R12).
+    """Inject a dense 1..N `id` iff no case-insensitive `id` exists (R12,
+    reference `backend/index.js:174-182` — `id SERIAL` when absent).
 
-    Deterministic row_number over an explicit ordering — at scale prefer a
-    keyed ordering over ingest order; defaults to all columns, which is
-    stable for deduplicated loads.
+    Two-phase distributed row_number, NOT a global `Window.orderBy` (that
+    form moves every row to one partition — the single-node sort is the
+    100 TB anti-pattern WindowExec itself warns about):
+
+    1. range-partition on the ordering key (global order ACROSS partitions
+       is preserved; partition i's keys all sort before partition i+1's),
+    2. `row_number` within each partition (parallel local sorts),
+    3. add per-partition row-count offsets — one row per partition,
+       broadcast.
+
+    For a unique ordering key the result is identical to the global window
+    regardless of where the range boundaries fall (a row's number is its
+    position in the total order). Ties that straddle a boundary get an
+    arbitrary-but-dense assignment — the same nondeterminism any ORDER BY
+    with ties has. Defaults to ordering by all columns, stable for
+    deduplicated loads. `id` stays int for reference `SERIAL` parity; a
+    >2B-row load would use BIGSERIAL semantics (cast to long) upstream.
     """
     if has_id_column(df):
         return df
     order_cols = order_by or df.columns
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn("id", F.row_number().over(w))
+    ocols = [F.col(c) for c in order_cols]
+    from omnidata_etl_spark.session import default_parallelism
+
+    # Local row number WITHOUT a Window: a Window.partitionBy(pid) would
+    # demand hashpartitioning(pid) — a second full-data shuffle Catalyst
+    # can't elide even though each partition already holds exactly one pid.
+    # monotonically_increasing_id() is documented (its API doc + source) as
+    # partition id in the upper bits and the consecutive-from-0 record
+    # number within the partition in the low 33 bits; masked, it IS the
+    # local row number over the sorted stream (the id is nondeterministic-
+    # tagged, so Catalyst never reorders it across the sort below it).
+    numbered = (
+        df.repartitionByRange(default_parallelism(), *ocols)
+        .sortWithinPartitions(*ocols)
+        .withColumn("_sk_pid", F.spark_partition_id())
+        .withColumn(
+            "_sk_rn",
+            (
+                F.monotonically_increasing_id().bitwiseAND(
+                    F.lit((1 << 33) - 1)
+                )
+                + 1
+            ).cast("int"),
+        )
+        .persist()  # two consumers below; ReusedExchange cannot dedupe a
+        # broadcast-side subtree, so without the cache the offsets branch
+        # would re-run the range shuffle. load() unpersists after its sink
+        # write; other callers inherit the session-scoped cache lifetime.
+    )
+    # Per-partition offsets: #partitions rows — the single-partition
+    # prefix-sum window over them is trivial at any scale (partition
+    # count, not row count).
+    offsets = (
+        numbered.groupBy("_sk_pid")
+        .agg(F.count(F.lit(1)).alias("_sk_n"))
+        .withColumn(
+            "_sk_off",
+            F.coalesce(
+                F.sum("_sk_n").over(
+                    Window.orderBy("_sk_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("int"),
+        )
+        .select("_sk_pid", "_sk_off")
+    )
+    out = (
+        numbered.join(F.broadcast(offsets), "_sk_pid")
+        .withColumn("id", F.col("_sk_rn") + F.col("_sk_off"))
+        .drop("_sk_pid", "_sk_rn", "_sk_off")
+    )
+    out._sk_cache = numbered  # handle for load()'s post-write unpersist
+    return out
 
 
 def apply_types(df: DataFrame, types: dict[str, str] | None) -> DataFrame:
@@ -111,7 +179,12 @@ def load(
         out = add_surrogate_key(out, order_by)
 
     staging = os.path.join(warehouse, f".{name}.staging-{uuid.uuid4().hex}")
-    out.write.mode("overwrite").parquet(staging)  # executes the whole plan
+    try:
+        out.write.mode("overwrite").parquet(staging)  # executes the plan
+    finally:
+        cache = getattr(out, "_sk_cache", None)
+        if cache is not None:  # surrogate-key scratch frame: one-shot here
+            cache.unpersist()
     if os.path.exists(target):
         if mode == "error":  # re-check: lost race
             shutil.rmtree(staging, ignore_errors=True)
