@@ -140,6 +140,13 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
             "-XX:MaxMetaspaceSize=2g",
         )
         .config("spark.ui.enabled", "false")
+        # Whole-stage-codegen CLASS cache (static conf, build-time only):
+        # the stock 100-entry cache thrashes when 150+ distinct queries
+        # interleave — every generated stage is evicted before its next
+        # run and janino recompiles it (~50-200ms/stage). Sized so the
+        # whole suite's stages stay resident; entries are soft-referenced
+        # so memory pressure can still reclaim them.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # saveAsTable target (bucketed tables for co-located joins);
         # keep the managed warehouse out of the repo tree
         .config(
