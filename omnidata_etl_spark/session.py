@@ -45,27 +45,23 @@ _RUNTIME_CONF = {
     # decision; AQE still converts to broadcast when runtime stats show a
     # side is truly small.
     "spark.sql.sources.fileCompressionFactor": "3.0",
-    # Broadcast threshold sized to executor memory, not the 10 MB stock
-    # default: a 64 MB estimated build side (~21 MB on disk under the 3×
-    # compression factor) deserializes to well under 1 GB — trivial for the
-    # 4-16 GB executors this engine targets — and every broadcast it enables
-    # removes a full shuffle+sort of the FACT side at PLAN time instead of
-    # waiting for AQE to demote the exchange at runtime. Verified on the
-    # sf0.1 plans: tpch_q5's one remaining SortMergeJoin (orders, est
-    # ~15 MB) becomes the 5th BroadcastHashJoin. Wall-clock effect under an
-    # order-alternated min-of-4 A/B is modest (q10 −13%, q12/q18/q7 a few
-    # percent, rest ties) because runtime demotion was already catching
-    # most cases; the win is determinism — the right join strategy no
-    # longer depends on AQE having a shuffle boundary to observe. The
-    # decision stays size-relative: at sf1+ the same tables exceed the
-    # threshold and the planner (and AQE, via the matching adaptive
-    # threshold) falls back to SortMergeJoin — the ×10 probe's documented
-    # flip, one scale later. Skew/OOM safety is unchanged: the threshold
-    # bounds the BUILD side, and 64 MB is inside the range the Spark
-    # tuning guide treats as cheap-to-broadcast on executors with GBs of
-    # memory.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
-    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 << 20),
+    # Broadcast threshold raised from the 10 MB stock default so every DIM
+    # and pruned intermediate broadcasts at plan time (q10's orders side,
+    # est ~8 MB, was the r3 motivating case: −13% under an order-alternated
+    # A/B), but kept BELOW the largest local fact: at 64 MB (the r3
+    # setting) tpch_q5's plan chose the full 600k-row lineitem (est 33 MB
+    # under the ×3 compression factor) as a broadcast BUILD side — a
+    # single-threaded 600k-entry hash build locally, and the exact
+    # broadcast-a-fact OOM pattern at cluster scale that
+    # fileCompressionFactor=3.0 exists to prevent. 20 MB keeps the r3
+    # dim-broadcast wins (r4 A/B over the 14 join-heavy queries: 20 MB
+    # 5.09s vs 64 MB 5.29s vs 10 MB 5.57s total) while restoring the
+    # invariant the cluster design point relies on: facts shuffle, dims
+    # broadcast. Size-relative as before: at sf1+ orders crosses the
+    # threshold too and falls back to SortMergeJoin (the ×10 probe's
+    # documented flip).
+    "spark.sql.autoBroadcastJoinThreshold": str(20 << 20),
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(20 << 20),
     # Scan-split sizing: maxSplitBytes = min(maxPartitionBytes,
     # max(openCostInBytes, scanBytes/defaultParallelism)). The stock 4 MB
     # openCost clamps a 10 MB local table to ~3 splits, starving the
