@@ -282,35 +282,41 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO string: the driver's value hash does not canonicalize date-vs-
     datetime64 dtypes (the CORRECTNESS_r01 cast_typed_load lesson)."""
     ev = table(spark, sf_dir, "events")
-    # persisted: the shifted self-join broadcasts one side, so without the
-    # cache both sides re-run the events scan + distinct; materialized it
-    # is one row per (user, active-week) — far smaller than the event log.
-    # Deliberately never unpersisted: same session-scoped cache discipline
-    # as dedup.py's module docstring (bench clearCache()s between passes;
-    # a long-lived deployment would manage view lifecycle explicitly).
-    weeks = (
+    # Single user-keyed shuffle, no self-join (the r3 form persisted a
+    # distinct (user, week) frame and broadcast a 7-day-shifted copy of it
+    # back onto itself — two consumers, a broadcast build, and a second
+    # aggregation). collect_set folds each user's activity to their
+    # distinct weeks map-side; sort it once and "active in week+7" is a
+    # pure array-lambda lookup: the immediate NEXT distinct week equals
+    # week+7 iff the user was active then. The per-user array is bounded
+    # by #weeks in the corpus (dozens), so the shuffled state is tiny at
+    # any corpus scale; `if()` guards the i+1 lookup (ANSI subscripts
+    # throw out-of-range, and only If guarantees conditional evaluation).
+    per_user = (
         ev.select(
             "user_id",
-            F.date_trunc("week", "ts").cast("date").alias("week_start"),
+            F.date_trunc("week", "ts").cast("date").alias("w"),
         )
-        .distinct()
-        .persist()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("w")).alias("ws"))
     )
-    nxt = weeks.select(
-        F.col("user_id").alias("n_user"),
-        F.date_sub("week_start", 7).alias("n_week"),
-    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "transform(ws, (w, i) -> named_struct("
+                "  'week_start', w,"
+                "  'retained', if(i < size(ws) - 1,"
+                "                 ws[i + 1] = date_add(w, 7), false)))"
+            )
+        ).alias("p")
+    ).select("p.week_start", "p.retained")
     return (
-        weeks.join(
-            nxt,
-            (weeks.user_id == F.col("n_user"))
-            & (weeks.week_start == F.col("n_week")),
-            "left",
-        )
-        .groupBy("week_start")
+        pairs.groupBy("week_start")
         .agg(
             F.count("*").cast("bigint").alias("n_active"),
-            F.count("n_user").cast("bigint").alias("n_retained"),
+            F.sum(F.col("retained").cast("long")).cast("bigint").alias(
+                "n_retained"
+            ),
         )
         .select(
             F.col("week_start").cast("string").alias("week_start"),
