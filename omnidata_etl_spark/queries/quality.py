@@ -299,10 +299,16 @@ def etl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(docs)
 
 
-def pack_documents(docs: DataFrame) -> DataFrame:
+def pack_documents(docs: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Greedy first-fit packing of a (doc_id, n_tokens) frame into
     PACK_TOKEN_BUDGET bins (see etl_pack_sequences for the full contract).
-    Returns (doc_id, pack_id, n_tokens)."""
+    Returns (doc_id, pack_id, n_tokens[, *passthrough]).
+
+    ``passthrough`` columns ride along untouched (`name type` DDL pairs
+    are taken from the input schema) so a composed pipeline can carry its
+    grouping keys through the packer instead of joining them back on —
+    the join would force the upstream frame to be computed twice
+    (broadcast consumers get no ReusedExchange)."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -315,22 +321,30 @@ def pack_documents(docs: DataFrame) -> DataFrame:
     def pack(batches):
         pid = TaskContext.get().partitionId()
         bin_id, used = 0, 0
-        ids, packs, toks = [], [], []
+        out: dict = {"doc_id": [], "pack_id": [], "n_tokens": []}
+        for c in passthrough:
+            out[c] = []
         for pdf in batches:
-            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            cols = [pdf[c] for c in passthrough]
+            for doc_id, n, *extra in zip(pdf["doc_id"], pdf["n_tokens"], *cols):
                 n = int(n)
                 if used + n > PACK_TOKEN_BUDGET and used > 0:
                     bin_id += 1
                     used = 0
                 used += n
-                ids.append(int(doc_id))
-                packs.append(f"p{pid}_{bin_id}")
-                toks.append(n)
-        yield pd.DataFrame(
-            {"doc_id": ids, "pack_id": packs, "n_tokens": toks}
-        )
+                out["doc_id"].append(int(doc_id))
+                out["pack_id"].append(f"p{pid}_{bin_id}")
+                out["n_tokens"].append(n)
+                for c, v in zip(passthrough, extra):
+                    out[c].append(v)
+        yield pd.DataFrame(out)
 
-    return dist.mapInPandas(pack, "doc_id long, pack_id string, n_tokens int")
+    extra_ddl = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    return dist.mapInPandas(
+        pack, f"doc_id long, pack_id string, n_tokens int{extra_ddl}"
+    )
 
 
 REPETITION_MAX = 0.10  # max dup-bigram ratio a kept doc may have
@@ -392,15 +406,18 @@ def etl_training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("keep"))
         .select("keep.doc_id", "keep.source", "keep.n_tokens")
     )
-    packed = pack_documents(canonical.select("doc_id", "n_tokens"))
-    return (
-        canonical.join(packed.select("doc_id", "pack_id"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("pack_id").alias("n_packs_touched"),
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        )
+    # `source` rides through the packer (passthrough) instead of a join
+    # back onto `canonical`: the join form consumed canonical twice and —
+    # broadcast consumers getting no ReusedExchange — recomputed the whole
+    # mix/filter/dedup prefix for the second consumer.
+    packed = pack_documents(
+        canonical.select("doc_id", "n_tokens", "source"),
+        passthrough=("source",),
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("pack_id").alias("n_packs_touched"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
 
 
