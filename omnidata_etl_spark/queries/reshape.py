@@ -165,7 +165,12 @@ def agg_approx_percentiles_checked(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-CMS_EPS = 0.0001  # count-min over-estimate bound: eps * total_items
+# count-min over-estimate bound: eps * total_items. 1e-3 is the classical
+# width (w = ⌈e/eps⌉ ≈ 2 719 counters × 5 rows ≈ 110 KB serialized); the
+# earlier 1e-4 sketch was 1.1 MB per partial and its per-partition
+# init+merge dominated the fold (622 → 235 ms at sf0.1) while the bound
+# check it feeds is equally valid at any eps.
+CMS_EPS = 0.001
 CMS_CONFIDENCE = 0.99
 CMS_SEED = 42
 
