@@ -442,17 +442,28 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omnidata_etl_spark.queries.dedup import rolling_shingle_hashes
 
     docs = table(spark, sf_dir, "documents")
-    sh = rolling_shingle_hashes(
-        docs, FINGERPRINT_SHINGLE, extra=("source",)
-    ).withColumnRenamed("sh", "h")
-    bench = sh.where(F.col("source") == "src0").select("h").distinct()
+    # Filter BEFORE shingling: bench and train are two consumers, and a
+    # shared post-shingle frame would run the whole-corpus shingle
+    # computation twice (the broadcast subtree gets no ReusedExchange).
+    # Shingling each side's own slice pushes the source predicate into the
+    # parquet scan and hashes every document exactly once across the two
+    # subtrees — the bench side only ever shingles the tiny eval slice.
+    bench = (
+        rolling_shingle_hashes(
+            docs.where(F.col("source") == "src0"), FINGERPRINT_SHINGLE
+        )
+        .select("sh")
+        .distinct()
+    )
     # No distinct on the train side: the per-doc rollup is ANY-match
     # (count(bh) > 0), which duplicate shingles cannot change, so a
     # (doc_id, h) distinct would add a full shuffle of every training
     # shingle for nothing. The broadcast probe is map-side; the only
     # train-side exchange is the one-bool-per-doc rollup.
-    train = sh.where(F.col("source") != "src0").select("doc_id", "h")
-    bench_h = bench.select(F.col("h").alias("bh"))
+    train = rolling_shingle_hashes(
+        docs.where(F.col("source") != "src0"), FINGERPRINT_SHINGLE
+    ).select("doc_id", F.col("sh").alias("h"))
+    bench_h = bench.select(F.col("sh").alias("bh"))
     return (
         train.join(F.broadcast(bench_h), train.h == bench_h.bh, "left")
         .groupBy("doc_id")
