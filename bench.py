@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from omnidata_etl_spark.registry import all_specs  # noqa: E402
+from omnidata_etl_spark.registry import all_specs, prepare  # noqa: E402
 from omnidata_etl_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,9 +67,22 @@ def _timed(f) -> float:
     return time.perf_counter() - t0
 
 
-def run_once(fn, spark, sf_dir: str) -> float:
+def run_once(name, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
+    # Default: rebuild the query from scratch every timed run, so every run
+    # pays plan construction AND re-executes every stage from the parquet
+    # scan up — the only protocol comparable to the DuckDB side, which also
+    # re-plans + recomputes per run. BENCH_PREPARE=1 switches to
+    # prepared-query SERVICE mode (registry.prepare): plan built once,
+    # repeats reuse materialized shuffle stages (measured 156-query suite:
+    # 12.9 s vs 37 s full-recompute at sf0.1). That mode models the
+    # reference backend's fixed-queries-per-request workload but skips the
+    # scan in timed repeats, so it is reported separately, never as the
+    # headline.
+    if os.environ.get("BENCH_PREPARE", "0") == "1":
+        df = prepare(spark, name, sf_dir)
+    else:
+        df = all_specs()[name].fn(spark, sf_dir)
     # Arrow materialization: the idiomatic PySpark result channel —
     # row-based collect() spends 3s deserializing what Arrow moves in <1s
     # (measured on the 600k-row outputs; compute itself is ~0.2s).
@@ -96,7 +109,7 @@ def main() -> None:
             if name in errors:
                 continue
             try:
-                sec = run_once(specs[name].fn, spark, SF_DIR)
+                sec = run_once(name, spark, SF_DIR)
             except Exception as e:  # one broken query must not kill the run
                 # Keep any timing already recorded in an earlier pass: a
                 # query that ran clean then flaked is 'ran then flaked', not

@@ -148,6 +148,62 @@ def query(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Builders that run Spark jobs at BUILD time (iterative connected
+# components, driver-side k-means training, sketch folds): their cost IS the
+# query, so a prepared-plan cache would silently skip it on re-execution.
+# prepare() re-invokes these every call.
+NO_PREPARE = frozenset(
+    {
+        "dedup_cluster_canonical",  # per-round convergence counts
+        "dedup_cluster_sizes",  # composes dedup_cluster_canonical
+        "agg_heavy_hitters_cms",  # top-10 collect + CMS fold at build
+        "ann_ivf_topk",  # centroid training sample toPandas at build
+    }
+)
+
+
+def prepare(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    """Prepared-query SERVICE mode: build the DataFrame once per
+    (session, query, sf_dir) and return the same object on every
+    subsequent call.
+
+    What repeat execution then costs — be precise, because it is NOT a
+    full recompute: re-running an action on the same DataFrame reuses the
+    plan (py4j construction + analysis + optimization skipped) AND any
+    already-materialized shuffle map stages (Spark's stage-skipping /
+    AQE query-stage reuse — the scan and shuffle-write side runs once per
+    session, later actions re-run only the final stage + result transfer).
+    Measured at sf0.1: tpch_q12 360 ms first execution, 33 ms repeats.
+
+    That is the right semantics for the reference backend's deployment
+    shape — every Express endpoint re-executes a fixed query per HTTP
+    request (/root/reference/backend/index.js route handlers), and a
+    long-lived Spark service answering that workload would serve repeats
+    from materialized stages exactly like this. It is the WRONG semantics
+    for a cold-query benchmark, which is why bench.py defaults to full
+    per-run rebuilds and only reports this mode separately (BENCH_PREPARE=1).
+
+    The cache lives on the session object, so it dies with the session;
+    builders in NO_PREPARE (build-time Spark jobs) and streaming frames
+    are rebuilt every call.
+    """
+    fn = all_specs()[name].fn
+    if name in NO_PREPARE:
+        return fn(spark, sf_dir)
+    cache = getattr(spark, "_omnidata_prepared", None)
+    if cache is None:
+        cache = {}
+        spark._omnidata_prepared = cache
+    key = (name, sf_dir)
+    df = cache.get(key)
+    if df is None:
+        df = fn(spark, sf_dir)
+        if df.isStreaming:
+            return df
+        cache[key] = df
+    return df
+
+
 def _load() -> None:
     global _LOADED
     if not _LOADED:
