@@ -482,3 +482,43 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance"),
         )
     )
+
+
+@query(
+    "etl_sample_stratified",
+    oracle="""
+        SELECT lang, doc_id, sample_rank
+        FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        WHERE sample_rank <= 5
+    """,
+    tags=("etl", "sampling", "scale"),
+)
+def etl_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 5 docs per language,
+    chosen by md5(doc_id) order — the rerun-stable per-stratum subsample a
+    corpus pipeline uses for eval slices and human review queues (same
+    hash-bucket trick as etl_train_val_test_split: re-ingesting the same
+    corpus reproduces the same sample, appends don't reshuffle earlier
+    picks ahead of new ones with larger hashes).
+
+    One shuffle on the stratum key; the rank is a per-partition sort.
+    At 100 TB strata can be huge, but the window carries only
+    (lang, doc_id, hash) — project-then-sample, never sample-then-project.
+    MD5 hex is lowercase in both engines, so the order is portable."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).alias("sample_rank")
+        )
+        .where(F.col("sample_rank") <= 5)
+    )

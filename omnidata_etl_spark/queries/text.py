@@ -616,3 +616,179 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_tok.alias("dup_token_ratio"),
         dup_bg.alias("dup_bigram_ratio"),
     )
+
+
+BM25_TERMS = ("hash", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   COUNT(*) AS dl,
+                   SUM(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf1,
+                   SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf2,
+                   SUM(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS tf3
+            FROM tok WHERE tok <> '' GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   AVG(CAST(dl AS DOUBLE)) AS avgdl,
+                   SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                   SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+            FROM per_doc
+        )
+        SELECT doc_id,
+               ROUND(
+                 LN((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                   * (tf1 * (1.2 + 1.0))
+                   / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               + LN((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                   * (tf2 * (1.2 + 1.0))
+                   / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               + LN((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0)
+                   * (tf3 * (1.2 + 1.0))
+                   / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+               4) AS bm25
+        FROM per_doc CROSS JOIN stats
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+    """,
+    tags=("text", "search", "ranking"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query (terms 'hash join stream')
+    over `documents` — the retrieval primitive of a training-data search /
+    decontamination stack, entirely in JVM expressions.
+
+    One-pass shape built for 100 TB: a single tokenize→explode feeds ONE
+    per-doc aggregation producing doc length and per-term tfs (conditional
+    sums — no per-term shuffle, no posting-list join); the corpus-level
+    stats (N, avgdl, per-term document frequencies) reduce to ONE row
+    broadcast back via crossJoin, and the final score is pure arithmetic +
+    TakeOrderedAndProject. Scoring a different query re-uses the same
+    plan with different literals. The idf is the standard
+    Robertson/Sparck-Jones (+1 smoothing) form; floating sums are 3 terms
+    in fixed expression order, so Spark and DuckDB agree bit-for-bit
+    (rounded 4dp defensively)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf_cols = [
+        F.sum((F.col("tok") == t).cast("long")).alias(f"tf{i+1}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"), *tf_cols
+    )
+    stat_cols = [F.count(F.lit(1)).alias("n_docs"),
+                 F.avg(F.col("dl").cast("double")).alias("avgdl")]
+    stat_cols += [
+        F.sum((F.col(f"tf{i+1}") > 0).cast("long")).alias(f"df{i+1}")
+        for i in range(len(BM25_TERMS))
+    ]
+    stats = per_doc.agg(*stat_cols)
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i+1}").cast("double")
+        df = F.col(f"df{i+1}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        norm = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf * F.lit(BM25_K1 + 1.0)) / norm
+
+    score = term_score(0) + term_score(1) + term_score(2)
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ),
+        clean AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        vocab AS (
+            SELECT tok, COUNT(*) AS n,
+                   SUM(COUNT(*)) OVER () AS total
+            FROM clean GROUP BY tok
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(CAST(ROUND(doc_nll, 9) AS DECIMAL(18,9)))
+                          AS DOUBLE) / COUNT(*), 4) AS avg_nll
+        FROM (
+            SELECT c.doc_id,
+                   CAST(SUM(CAST(ROUND(-LN(n / CAST(total AS DOUBLE)), 9)
+                                 AS DECIMAL(18,9))) AS DOUBLE)
+                       / COUNT(*) AS doc_nll
+            FROM clean c JOIN vocab v ON c.tok = v.tok
+            GROUP BY c.doc_id
+        ) d JOIN documents USING (doc_id)
+        GROUP BY source
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram negative-log-likelihood scoring — the zero-model stand-in
+    for perplexity filtering in a training-data pipeline (docs whose
+    tokens are globally rare score high and get reviewed/dropped).
+
+    Two aggregations over one tokenize pass: corpus unigram frequencies
+    (vocab is small — it gets broadcast into the token join), then a
+    per-doc mean of -ln p(tok). Per-token contributions are rounded to
+    9dp and summed as DECIMAL(18,9), so the sum is associative and
+    engine-order-proof (the double-sum-order hazard the repo's money
+    aggregates solve the same way); the per-source average is over doc
+    means. Reported per source (the corpus-health dashboard cut)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    vocab = vocab.crossJoin(F.broadcast(total))
+    nll = F.round(
+        -F.log(F.col("n") / F.col("total").cast("double")), 9
+    ).cast("decimal(18,9)")
+    per_doc = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("doc_nll")
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(
+                    F.round(F.col("doc_nll"), 9).cast("decimal(18,9)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_nll"),
+        )
+    )

@@ -158,6 +158,33 @@ NO_PREPARE = frozenset(
         "dedup_cluster_sizes",  # composes dedup_cluster_canonical
         "agg_heavy_hitters_cms",  # top-10 collect + CMS fold at build
         "ann_ivf_topk",  # centroid training sample toPandas at build
+        # sink demos: the parquet WRITE is the query and runs at build
+        "sink_partitioned",
+        "sink_dynamic_partition_overwrite",
+        "sink_errorifexists",
+        "sink_text_source_roundtrip",
+        "sink_bucketed_join",
+        "etl_compact_small_files",
+        "ingest_orc",
+        # ingest demos: read_any's sniff + schema-inference jobs at build
+        # ARE the declared ingest semantics
+        "ingest_csv",
+        "ingest_tsv",
+        "ingest_pipe_markdown",
+        "ingest_json",
+        "ingest_xml",
+        "ingest_xlsx",
+        "ingest_csv_gzip",
+        # observe() metrics ride a count() issued at build
+        "etl_observed_metrics",
+        # stages micro-batch fixture dirs + runs the stream at build
+        "stream_text_source_tail",
+        "stream_foreachbatch_upsert",
+        "stream_structured_demo",
+        "stream_stateful_user_totals",
+        "stream_dedup_watermark",
+        "stream_static_join",
+        "stream_stream_interval_join",
     }
 )
 
@@ -202,6 +229,27 @@ def prepare(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
             return df
         cache[key] = df
     return df
+
+
+def prepare_execute(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    """Prepared-STATEMENT execution: re-execute a cached ANALYZED plan.
+
+    Classic DB prepare/execute semantics (parse + analyze once; optimize,
+    physical-plan, schedule, and run every execute): the builder's analyzed
+    DataFrame is cached once per (session, query, sf_dir) — that's the
+    parse/analyze step, 20-120 ms of py4j round-trips per build — and each
+    call returns a FRESH execution wrapper over it (``select("*")``), which
+    gets its own QueryExecution: Catalyst re-optimizes, new exchange
+    operators are instantiated, so NO shuffle stages or broadcasts are
+    reused and every stage re-runs from the parquet scan up. This is the
+    mode comparable to re-executing a prepared statement against DuckDB;
+    contrast prepare(), whose repeats serve from materialized stages.
+    NO_PREPARE builders rebuild fully every call, same as prepare().
+    """
+    df = prepare(spark, name, sf_dir)
+    if name in NO_PREPARE or df.isStreaming:
+        return df
+    return df.select("*")
 
 
 def _load() -> None:

@@ -31,6 +31,20 @@ def test_prepare_cache_hit_same_object(spark):
     assert c is not a
 
 
+def test_prepare_execute_fresh_wrapper_same_results(spark):
+    from omnidata_etl_spark.registry import prepare_execute
+
+    spec = all_specs()["agg_having"]
+    fresh = spec.fn(spark, SF).toPandas()
+    a = prepare_execute(spark, "agg_having", SF)
+    b = prepare_execute(spark, "agg_having", SF)
+    # fresh execution wrapper per call: distinct DataFrames (no stage
+    # reuse), same results as a from-scratch build
+    assert a is not b
+    assert a.toPandas().equals(fresh)
+    assert b.toPandas().equals(fresh)
+
+
 def test_no_prepare_rebuilds_every_call(spark):
     calls = []
     name = "dedup_cluster_canonical"
