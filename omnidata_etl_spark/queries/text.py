@@ -687,9 +687,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("tok") == t).cast("long")).alias(f"tf{i+1}")
         for i, t in enumerate(BM25_TERMS)
     ]
+    # persist: per_doc feeds BOTH the scoring side and the broadcast stats
+    # row; without it the broadcast consumer re-runs the whole
+    # tokenize→explode→agg pipeline (ReusedExchange never covers broadcast
+    # consumers — the r3 finding). One row per doc (dl + 3 tfs), so the
+    # materialization scales with |docs|, not |tokens|. Session-scoped
+    # cache discipline as in dedup.py: identical plans share the entry,
+    # spark.catalog.clearCache() reclaims.
     per_doc = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"), *tf_cols
-    )
+    ).persist()
     stat_cols = [F.count(F.lit(1)).alias("n_docs"),
                  F.avg(F.col("dl").cast("double")).alias("avgdl")]
     stat_cols += [

@@ -38,6 +38,11 @@ PROBE_QUERIES = (
     "dedup_near_minhash",
     "dedup_cluster_canonical",
     "text_decontaminate",
+    "tpch_q5_local_supplier",
+    "text_bm25_topk",
+    "text_perplexity_proxy",
+    "etl_sample_stratified",
+    "multimodal_image_decode_stats",
 )
 KEY_OFFSET = 10_000_000_000
 

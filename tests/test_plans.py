@@ -325,3 +325,82 @@ def test_minhash_pipeline_exchange_budget(spark, sf_dir):
     # spread round-robin — but NO third doc_id hash exchange
     n_hash_exchanges = plan.count("hashpartitioning(doc_id")
     assert n_hash_exchanges <= 2, plan[:2000]
+
+
+def test_q5_fact_never_broadcast_build_side(spark, sf_dir):
+    """The r4 regression guard: projection pruning deflated lineitem's size
+    estimate under the broadcast threshold and the planner chose the
+    600k-row FACT as a BroadcastHashJoin build side (single-threaded hash
+    build locally, OOM at cluster scale). The dim-first rewrite must keep
+    every broadcast build side fact-free: no BroadcastExchange subtree may
+    scan lineitem."""
+    plan = _plan(spark, sf_dir, "tpch_q5_local_supplier")
+    assert "BroadcastHashJoin" in plan  # dims do broadcast
+    # The broadcast-a-fact plan put lineitem's scan (the only scan reading
+    # l_extendedprice) UNDER a BroadcastExchange. In the formatted tree,
+    # ancestors are the operators with smaller indentation above a node:
+    # assert the lineitem scan has no BroadcastExchange ancestor.
+    tree_lines = plan.split("\n\n", 1)[0].splitlines()
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    scan_ids = [i for i, l in enumerate(tree_lines) if "Scan parquet" in l]
+    detail = plan.split("\n\n", 1)[1] if "\n\n" in plan else ""
+    # find which tree scan is lineitem via the detail blocks
+    import re
+
+    li_nodes = {
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) Scan parquet[\s\S]*?Location:[^\n]*lineitem", detail)
+    }
+    for i in scan_ids:
+        node = re.search(r"\((\d+)\)", tree_lines[i])
+        if not node or node.group(1) not in li_nodes:
+            continue
+        my_indent = indent(tree_lines[i])
+        for j in range(i - 1, -1, -1):
+            if indent(tree_lines[j]) < my_indent:
+                my_indent = indent(tree_lines[j])
+                assert "BroadcastExchange" not in tree_lines[j], (
+                    "lineitem scan feeds a BroadcastExchange "
+                    "(broadcast-a-fact antipattern)"
+                )
+    # and the residual fact join still shuffles
+    assert "hashpartitioning" in plan
+
+
+def test_bm25_single_agg_no_posting_shuffle(spark, sf_dir):
+    """BM25 is one tokenize→explode feeding ONE per-doc aggregation
+    (conditional tf sums), corpus stats reduced to one broadcast row, and
+    a TakeOrderedAndProject top-k — no per-term shuffle, no cartesian."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # per_doc is persisted and consumed by BOTH the scoring side and the
+    # broadcast stats row: documents must be scanned/exploded ONCE (the
+    # cache materialization). The formatted tree re-displays the cached
+    # subtree under each InMemoryTableScan, so count DISTINCT scan node
+    # ids, not text occurrences.
+    import re
+
+    tree = plan.split("\n\n", 1)[0]
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) <= 1, f"corpus scanned per-consumer: {scan_ids}"
+    assert tree.count("InMemoryTableScan") >= 2  # both consumers hit cache
+    # one-row stats side arrives via broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "etl_sample_stratified")
+    tree = plan.split("\n\n", 1)[0]
+    # one shuffle (stratum key), and Spark's rank-limit pushdown keeps a
+    # partial top-5 per group BEFORE the exchange so the shuffle carries
+    # ≤5 rows per (partition, stratum), not the corpus
+    shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", tree)
+    assert len(shuffles) == 1, tree
+    assert tree.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "CartesianProduct" not in plan
