@@ -107,7 +107,8 @@ def _splittable_path(sf_dir: str, name: str) -> tuple[str, int]:
 
 
 def _size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
-    """Size `spark.sql.shuffle.partitions` from the catalog's input stats.
+    """Size `spark.sql.shuffle.partitions` AND the AQE advisory partition
+    bytes from the catalog's input stats.
 
     Plan-time analog of AQE coalescing: the right reducer count is a
     function of the data — `total on-disk bytes × fileCompressionFactor ÷
@@ -117,9 +118,20 @@ def _size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
     while the small-aggregate "win" of fewer tasks was a warm-up artifact
     that disappears at steady state) and capped at 2000. At bench scale
     this resolves to the core count; at cluster scale the byte term yields
-    thousands, and AQE still coalesces/splits per-stage at runtime. Runs
-    once per (session, sf_dir): a deliberate later override by the user
-    would be clobbered on the next table() call otherwise.
+    thousands, and AQE still coalesces/splits per-stage at runtime.
+
+    The advisory bytes get the same treatment in the other direction: a
+    static 64 MB advisory is the right *cluster* setting (per-task overhead
+    amortizes over big partitions) but at local scale it lets AQE coalesce
+    an entire 5-10 MB shuffle into 1-2 tasks, serializing CPU-heavy
+    sort/window/join stages on a 32-core box. Sized as
+    `clamp(est_bytes / (4 × cores), 1 MB, 64 MB)` — i.e. aim for ~4 waves
+    of post-shuffle tasks when the whole input shuffles, hitting the 1 MB
+    floor at bench scale (r4 interleaved A/B over 22 shuffle-heavy
+    queries: 1 MB 4.60s vs 64 MB 5.03s, with q18/skew-salted/scd2 −30-50%)
+    and the 64 MB cluster cap from ~8 GB of input upward. Runs once per
+    (session, sf_dir): a deliberate later override by the user would be
+    clobbered on the next table() call otherwise.
     """
     key = getattr(spark, "_omnidata_sized_for", None)
     if key == sf_dir:
@@ -149,6 +161,18 @@ def _size_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
         n = max(default_parallelism(), min(2000, est // (64 << 20)))
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
         spark._omnidata_sized_value = str(n)
+        advisory = max(1 << 20, min(64 << 20, est // (4 * default_parallelism())))
+        cur_adv = spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864"
+        )
+        ours_adv = getattr(spark, "_omnidata_sized_advisory", None)
+        # same override discipline: only replace the stock default (64m,
+        # also what ensure_tuned writes) or our own earlier sizing
+        if cur_adv in {"64m", "67108864", str(64 << 20), ours_adv}:
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory)
+            )
+            spark._omnidata_sized_advisory = str(advisory)
     except Exception:  # pragma: no cover - stats are an optimization only
         pass
 

@@ -30,11 +30,12 @@ _RUNTIME_CONF = {
     # so the driver's plain session gets it too (row-based collect spends ~3s
     # deserializing what Arrow moves in <1s on 600k-row outputs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Size post-shuffle partitions by bytes (64 MB advisory), not by raw
-    # parallelism: AQE then coalesces a small shuffle to the few tasks it
-    # deserves (measured −40% wall on small aggregations locally) and still
-    # splits large shuffles; at cluster scale this is the efficiency-first
-    # setting the AQE docs recommend once parallelism is already abundant.
+    # Size post-shuffle partitions by bytes, not by raw parallelism; 64 MB
+    # is the cluster-scale default (per-task overhead amortizes over big
+    # partitions) and catalog._size_shuffle_partitions re-derives the value
+    # from actual input stats per sf_dir — at local bench scale it lands on
+    # the 1 MB floor so a 5-10 MB shuffle still fans out across cores
+    # instead of coalescing CPU-heavy sort/window stages onto 1-2 tasks.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     # Plan-time sizeInBytes is compressed-file-size-based; snappy parquet
