@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.queries._util import spread
@@ -769,33 +770,55 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates solve the same way); the per-source average is over doc
     means. Reported per source (the corpus-health dashboard cut)."""
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = vocab.agg(F.sum("n").alias("total"))
-    vocab = vocab.crossJoin(F.broadcast(total))
+    # Tokenize ONCE and immediately collapse to (doc, tok) counts: the raw
+    # token stream never shuffles (map-side partial agg), and the counted
+    # frame is ~|distinct pairs|, not |tokens|. It feeds BOTH the vocab
+    # aggregation and the scoring join — broadcast consumers never reuse
+    # exchanges (the r3 ReusedExchange finding), so it is persisted or the
+    # tokenize/explode prefix would run twice. `source` rides along (it is
+    # functionally dependent on doc_id), saving the documents re-join.
+    # Session-scoped cache discipline as in dedup.py.
+    tok_counts = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    # total as an unpartitioned window over the (tiny) vocab instead of a
+    # separate agg + crossJoin(broadcast): one consumer of the cache on
+    # the vocab side and one fewer broadcast job per execution.
+    vocab = (
+        tok_counts.groupBy("tok")
+        .agg(F.sum("c").alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    # c identical rounded-decimal terms sum to exactly c × term (decimal
+    # multiply is exact), so the pre-counted form is bit-equal to summing
+    # per token occurrence — the engine-order-proof decimal trick survives.
     nll = F.round(
         -F.log(F.col("n") / F.col("total").cast("double")), 9
     ).cast("decimal(18,9)")
     per_doc = (
-        tok.join(F.broadcast(vocab), "tok")
-        .groupBy("doc_id")
+        tok_counts.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "source")
         .agg(
-            (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("doc_nll")
+            (
+                F.sum(nll * F.col("c")).cast("double") / F.sum("c")
+            ).alias("doc_nll")
         )
     )
-    return (
-        per_doc.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum(
-                    F.round(F.col("doc_nll"), 9).cast("decimal(18,9)")
-                ).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_nll"),
-        )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(
+                F.round(F.col("doc_nll"), 9).cast("decimal(18,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_nll"),
     )

@@ -30,6 +30,13 @@ _RUNTIME_CONF = {
     # so the driver's plain session gets it too (row-based collect spends ~3s
     # deserializing what Arrow moves in <1s on 600k-row outputs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Fewer, larger Arrow batches on the result channel: the stock 10k
+    # rows/batch pays per-batch IPC framing ~10× more often than needed on
+    # 100k+-row results (r4 A/B over the 5 largest-output queries: −18%
+    # wall). 128k rows × typical result widths stays well under executor
+    # memory pressure at any scale; selfDestruct was also tried and
+    # measured slower (+10%) — copy avoidance doesn't pay at these widths.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
     # Size post-shuffle partitions by bytes, not by raw parallelism; 64 MB
     # is the cluster-scale default (per-task overhead amortizes over big
     # partitions) and catalog._size_shuffle_partitions re-derives the value
