@@ -6,8 +6,14 @@ lacks l_shipmode/l_commitdate/l_receiptdate; part lacks p_container; customer
 lacks c_phone), so each query keeps the CANONICAL STRUCTURE — the join
 topology, subquery shape, and aggregation pattern that make the query a
 distinct optimizer/execution exercise — with predicates adapted to columns
-that exist (each docstring notes the substitution). Q2/Q9/Q11/Q16/Q20 need
-partsupp and are deliberately out of scope.
+that exist (each docstring notes the substitution). For Q2/Q9/Q11/Q16/Q20
+lineitem stands in for the missing partsupp as the supply fact (offer price
+= l_extendedprice, supplied volume = l_quantity), which preserves each
+query's defining pattern: Q2's correlated-MIN re-join, Q9's widest join
+tree with an arithmetic profit expression, Q11's HAVING-vs-scalar-subquery,
+Q16's count-distinct with NOT-IN exclusion, Q20's nested-IN over a grouped
+threshold. All 22 canonical shapes are now covered (Q1 ≡
+agg_pricing_summary, Q6 ≡ tpch_q6_forecast_revenue in aggregations.py).
 
 Determinism discipline throughout (SURVEY.md §7.3): money arithmetic exact
 per row — int64 1e-4 units (_util.cents fast path) on the Spark side against
@@ -599,3 +605,355 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             csum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        offers AS (
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS cost,
+                   MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY p_partkey) AS min_cost
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN eu   ON s_suppkey = l_suppkey
+            WHERE p_size <= 5 AND p_type = 'STANDARD'
+        )
+        SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(min_cost AS DOUBLE) AS supply_cost
+        FROM offers WHERE cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("tpch", "window", "join", "subquery"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest European supplier for each qualifying
+    part — the canonical correlated-MIN subquery re-joined to its own
+    derived relation. Substitutions: no partsupp table, so lineitem acts
+    as the supply catalog (l_extendedprice is the offer price) and the
+    part filter uses columns that exist (p_size <= 5, p_type='STANDARD').
+
+    Spark-first: the correlated `= (SELECT MIN ...)` is expressed as a
+    per-part window MIN over the already-joined offers — ONE pass over the
+    supply fact and no self-join (the classic Q2 decorrelation Catalyst
+    would otherwise have to derive). Dims broadcast; the only fact
+    exchange is the window's p_partkey shuffle. MIN/equality on exact
+    cents (int64), cast to DOUBLE only on output; LIMIT is ordered with a
+    unique (p_partkey, s_name) tiebreak."""
+    from pyspark.sql.window import Window
+
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = table(spark, sf_dir, "supplier")
+    eu = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+            cents("l_extendedprice").alias("cost_units"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_units", F.min("cost_units").over(w))
+        .where(F.col("cost_units") == F.col("min_units"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            (F.col("min_units") / 100.0).alias("supply_cost"),
+        )
+        .distinct()
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q4_priority_late_ship",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def tpch_q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts over a quarter, restricted to
+    orders with at least one late line — the canonical EXISTS semi-join
+    grouped count. Substitution: no l_commitdate/l_receiptdate, so "late"
+    is a ship date more than 60 days after the order date (same
+    correlated-comparison structure, columns that exist).
+
+    Plan: left-semi join on the order key carrying the non-equi lateness
+    conjunct (one fact shuffle pair under AQE; the quarter predicate is
+    pushed into the orders scan), then a tiny priority groupBy."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_REV}
+                   - CAST(p_retailprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2)) * 0.10 AS amount
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per order-year for parts matching
+    a name pattern — the widest canonical join tree (5 relations here; no
+    partsupp, so supply cost is modeled as 10% of p_retailprice per unit,
+    keeping the revenue-minus-cost expression structure and the p_name
+    LIKE filter).
+
+    Exactness: revenue on the 1e-4 int64 unit path; the cost term is
+    retail-cents × integral quantity (exact long), so the whole amount is
+    an exact int64 in 1e-4 units — the DECIMAL oracle's 0.10 multiplier is
+    absorbed by cents(p_retailprice) × qty × 10 units. Plan: part (pruned
+    by the LIKE at the scan) and supplier⋈nation broadcast into the fact;
+    orders arrives via its own key join; one final small rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    # amount in 1e-4 units: rev_units - cents(retail)*qty*10
+    # (cents*qty*10 == retail*qty*0.10 in 1e-4 units, exactly)
+    amount = rev_units() - cents("p_retailprice") * F.col(
+        "l_quantity"
+    ).cast("long") * F.lit(10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount_units"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_units") / 10000.0).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_value",
+    oracle=f"""
+        WITH v AS (
+            SELECT l_partkey, SUM({_REV}) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        FROM v
+        WHERE value * (SELECT COUNT(*) FROM v) > 3 * (SELECT SUM(value) FROM v)
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supplied value from one nation exceeds
+    3× the nation's mean part value — the canonical
+    group-HAVING-greater-than-scalar-subquery pattern. Substitutions:
+    lineitem revenue stands in for partsupp supplycost×availqty, and the
+    canonical fixed fraction is mean-relative (0.0001/SF in spec Q11 is
+    itself scale-corrected; a mean-relative cut keeps the result non-empty
+    at every sf the driver runs).
+
+    The per-part frame feeds both the scalar aggregates and the filter, so
+    it is persisted (broadcast consumers get no ReusedExchange — session
+    cache discipline per dedup.py). The threshold comparison is exact:
+    int64 unit sums promoted to DECIMAL(38,0) before the cross-multiply
+    (the product can overflow int64 at the 100 TB design point; DECIMAL
+    keeps it exact and ANSI-safe), mirroring the oracle's exact DECIMAL
+    arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    v = (
+        li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_units()).alias("value_units"))
+        .persist()
+    )
+    total = v.agg(
+        F.sum(F.col("value_units").cast("decimal(38,0)")).alias("total_units"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        v.join(F.broadcast(total))
+        .where(
+            F.col("value_units").cast("decimal(38,0)") * F.col("n_parts")
+            > F.lit(3) * F.col("total_units")
+        )
+        .select(
+            "l_partkey", (F.col("value_units") / 10000.0).alias("value")
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "agg", "subquery"),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute bucket
+    with a NOT-IN supplier exclusion — the canonical
+    count-distinct-with-anti-subquery. Substitution: lineitem stands in
+    for partsupp; the excluded suppliers are those in arrears (negative
+    balance) instead of complaint-flagged comments.
+
+    Plan: the exclusion list is a broadcast anti join (s_acctbal < 0 has
+    no NULLs, so NOT IN ≡ anti join here — NULL-poisoning is the
+    fn_conditional family's concern); part dims broadcast into the fact;
+    the count-distinct shuffles (brand, type, size, suppkey) partials
+    before the final distinct-count — Spark's two-phase expand handles it
+    without a second fact pass."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad = table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_promo_share_suppliers",
+    oracle="""
+        SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+            )
+            GROUP BY l_suppkey
+            HAVING 100 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                   > 15 * SUM(CAST(l_quantity AS BIGINT))
+        )
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def tpch_q20_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 1997 shipments of PROMO parts
+    exceed a fixed share of their all-time PROMO volume — the canonical
+    nested-IN over a grouped HAVING threshold. Substitution: no partsupp
+    availqty, so the half-of-shipped-quantity test becomes a
+    15%-of-own-volume test computed from the same fact (two conditional
+    sums in ONE groupBy — the decorrelated form; the canonical query's
+    correlated comparison would re-scan per supplier).
+
+    Exactness: quantities are integral doubles → exact BIGINT sums; the
+    share test is cross-multiplied (100·q97 > 15·qall) so no division ever
+    happens. Plan: part IN-list broadcasts as a semi join; one fact
+    groupBy on suppkey; the qualifying-supplier set broadcasts back as a
+    semi join against the supplier dim."""
+    li = table(spark, sf_dir, "lineitem")
+    promo = table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    s = table(spark, sf_dir, "supplier")
+    q97 = F.sum(
+        F.when(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")),
+            F.col("l_quantity").cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    )
+    qualifying = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(q97.alias("q_1997"), F.sum(F.col("l_quantity").cast("bigint")).alias("q_all"))
+        .where(F.lit(100) * F.col("q_1997") > F.lit(15) * F.col("q_all"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))

@@ -404,3 +404,34 @@ def test_stratified_sample_single_shuffle(spark, sf_dir):
     assert len(shuffles) == 1, tree
     assert tree.count("WindowGroupLimit") == 2  # Partial + Final
     assert "CartesianProduct" not in plan
+
+
+def test_q2_decorrelated_single_supply_scan(spark, sf_dir):
+    """Q2's correlated MIN is expressed as a per-part window over the
+    joined offers: lineitem (the supply fact) must be scanned exactly
+    once — the naive correlated form would scan it twice (once for the
+    MIN subquery, once for the outer join)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    detail = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    li = re.findall(r"Scan parquet[\s\S]{0,400}?Location:[^\n]*lineitem", detail)
+    assert len(li) == 1, f"supply fact scanned {len(li)}x"
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # dims broadcast
+
+
+def test_q20_single_fact_pass(spark, sf_dir):
+    """Q20's share threshold is decorrelated into two conditional sums in
+    ONE groupBy — one lineitem scan, one fact exchange; part IN-list and
+    the qualifying-supplier set travel as broadcast semi joins."""
+    import re
+
+    plan = _plan(spark, sf_dir, "tpch_q20_promo_share_suppliers")
+    detail = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    li = re.findall(r"Scan parquet[\s\S]{0,400}?Location:[^\n]*lineitem", detail)
+    assert len(li) == 1, f"fact scanned {len(li)}x"
+    tree = plan.split("\n\n", 1)[0]
+    shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", tree)
+    assert len(shuffles) == 1, tree
