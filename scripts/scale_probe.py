@@ -43,6 +43,9 @@ PROBE_QUERIES = (
     "text_perplexity_proxy",
     "etl_sample_stratified",
     "multimodal_image_decode_stats",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q20_promo_share_suppliers",
 )
 KEY_OFFSET = 10_000_000_000
 
