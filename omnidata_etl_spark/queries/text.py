@@ -822,3 +822,148 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_nll"),
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+        WITH tc AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents) t
+            WHERE tok <> ''
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, COUNT(*) AS d,
+                   (SELECT COUNT(*) FROM documents) AS n
+            FROM tc GROUP BY tok
+        )
+        SELECT doc_id, tok,
+               CAST(score AS DOUBLE) AS tfidf
+        FROM (
+            SELECT tc.doc_id, tc.tok,
+                   CAST(ROUND(tc.c * LN(CAST(df.n AS DOUBLE) / df.d), 9)
+                        AS DECIMAL(18,9)) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tc.doc_id
+                       ORDER BY CAST(ROUND(tc.c * LN(CAST(df.n AS DOUBLE)
+                                                     / df.d), 9)
+                                     AS DECIMAL(18,9)) DESC, tc.tok
+                   ) AS rn
+            FROM tc JOIN df USING (tok)
+        ) ranked
+        WHERE rn <= 3
+    """,
+    tags=("text", "features", "lm"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic sparse featurization /
+    keyword-extraction pass (corpus search indexing, topic labelling,
+    cluster naming in a curation pipeline).
+
+    One tokenize pass collapsed to (doc, tok) counts (map-side partial
+    agg), persisted for its two consumers (document frequencies and the
+    scoring join — broadcast consumers get no ReusedExchange; session
+    cache discipline per dedup.py). The corpus doc count rides the tiny
+    df table as a window constant. Determinism: scores are rounded to 9dp
+    DECIMAL before BOTH the comparison and the output (the perplexity
+    family's engine-order-proof trick), and rank ties break on the term
+    itself, so top-3 membership is engine-independent. The per-doc rank
+    gets Spark's WindowGroupLimit pushdown: a partial top-3 runs before
+    the doc_id exchange."""
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    n_docs = docs.count()  # scan-only count on the pruned doc_id column
+    df_t = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    score = F.round(
+        F.col("c") * F.log(F.lit(float(n_docs)) / F.col("d")), 9
+    ).cast("decimal(18,9)")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        tc.join(F.broadcast(df_t), "tok")
+        .select("doc_id", "tok", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", F.col("score").cast("double").alias("tfidf"))
+    )
+
+
+@query(
+    "text_boilerplate_ratio",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, h
+            FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 5 THEN
+                           list_transform(generate_series(1, len(toks) - 4),
+                                          i -> array_to_string(toks[i:i+4], ' '))
+                       ELSE [text] END) AS h
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                      FROM documents) t
+            ) u
+        ),
+        boiler AS (
+            SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 3
+        )
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(b.h) AS n_boiler,
+               ROUND(CAST(COUNT(b.h) AS DOUBLE) / COUNT(*), 6) AS boiler_ratio
+        FROM sh LEFT JOIN boiler b ON sh.h = b.h
+        GROUP BY sh.doc_id
+    """,
+    tags=("text", "dedup", "quality"),
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate share (the CCNet-style template filter):
+    the fraction of a document's distinct 5-token shingles that appear in
+    ≥3 distinct documents — headers, footers, license blocks, and scraped
+    templates score high and get stripped or down-weighted before
+    training.
+
+    One shingle pass (the dedup family's rolling hash form — map-only),
+    collapsed to DISTINCT (doc, shingle) and persisted for its two
+    consumers: the cross-doc frequency table (whose ≥3 slice broadcasts —
+    at 100 TB swap a Bloom filter per the decontaminate note) and the
+    per-doc rollup. Hash-vs-string equivalence is the decontaminate
+    argument: counts agree modulo 2^-64 collisions. The ratio divides two
+    exact int64 counts — one IEEE divide, identical across engines."""
+    from omnidata_etl_spark.queries.dedup import rolling_shingle_hashes
+
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        rolling_shingle_hashes(docs, FINGERPRINT_SHINGLE)
+        .select("doc_id", "sh")
+        .distinct()
+        .persist()
+    )
+    boiler = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= 3)
+        .select(F.col("sh").alias("bh"))
+    )
+    return (
+        sh.join(F.broadcast(boiler), sh.sh == F.col("bh"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("bh").alias("n_boiler"),
+            F.round(
+                F.count("bh").cast("double") / F.count(F.lit(1)), 6
+            ).alias("boiler_ratio"),
+        )
+    )
