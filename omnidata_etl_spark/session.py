@@ -151,6 +151,18 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
         # whole suite's stages stay resident; entries are soft-referenced
         # so memory pressure can still reclaim them.
         .config("spark.sql.codegen.cache.maxEntries", "10000")
+        # Single-node shuffle I/O (static conf, LOCAL factory only — a
+        # cluster deployment brings its own conf and keeps the stock
+        # values): shuffle blocks never cross a network here and live in
+        # page cache, so block compression is pure CPU overhead, and
+        # /dev/shm skips filesystem syscall latency for the many tiny
+        # shuffle files a 32-way local exchange writes. r4 A/B over 15
+        # shuffle-heavy queries, fresh JVMs: 3.27-3.47s stock vs
+        # 2.68-2.71s with both (−18%). At cluster scale compression is
+        # load-bearing (network + disk spill) — these two keys are the
+        # single-node exception, not the design point.
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         # saveAsTable target (bucketed tables for co-located joins);
         # keep the managed warehouse out of the repo tree
         .config(
@@ -158,6 +170,16 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
             os.environ.get("OMNIDATA_WAREHOUSE", "/tmp/omnidata_warehouse"),
         )
     )
+    # tmpfs shuffle/scratch dir when available (same local-only rationale
+    # as the compression keys above; falls back to the java.io.tmpdir
+    # default on hosts without a writable /dev/shm)
+    shm = "/dev/shm/omnidata_spark"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        if os.access(shm, os.W_OK):
+            builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
