@@ -64,6 +64,8 @@ SKIP = {
     "sink_text_source_roundtrip",
     # writes an ORC staging dir per call — same staging class
     "ingest_orc",
+    # stages a binary-asset dir on first call — same staging class
+    "ingest_binary_assets",
 }
 
 

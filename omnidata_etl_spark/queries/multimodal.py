@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.session import ensure_tuned
 
 # Real codecs for the container-expressible formats: PPM/BMP images decode
 # to numpy with zero dependencies, WAV/PCM16 via stdlib `wave`; compressed
@@ -458,4 +459,81 @@ def grouped_minmax_scale_pandas_form(spark: SparkSession, sf_dir: str) -> DataFr
 
     return ev.groupBy("user_id").applyInPandas(
         scale, schema="event_id long, scaled double"
+    )
+
+
+@query("ingest_binary_assets", tags=("multimodal", "ingest", "codec"))
+def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset ingestion through Spark's native ``binaryFile`` source —
+    the path a 100 TB multimodal corpus actually arrives by (image/audio
+    blobs as files on object storage, one row per file with path, length,
+    modificationTime, content). Stages a small deterministic PPM asset set
+    into a scratch dir once (keyed by sf_dir so scale factors don't
+    collide), reads it back via ``spark.read.format("binaryFile")``, and
+    decodes every payload with the zero-dependency codec.
+
+    Self-evidencing (rows-only): ``decode_ok_all`` is true only if every
+    ingested payload decodes to the exact dimensions its filename declares
+    AND re-encodes byte-identically — the source's content fidelity is
+    proven inside the query's own output. At scale the same plan reads
+    thousands of files per partition (binaryFile splits by file);
+    ``pathGlobFilter``/``recursiveFileLookup`` are the production knobs.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"omnidata_binassets_{os.getuid()}", key
+    )
+    done = os.path.join(root, ".done")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        for i in range(24):
+            w, h = 8 + (i % 3) * 4, 6 + (i % 2) * 6
+            rng = np.random.default_rng(i)
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            with open(os.path.join(root, f"asset_{i:02d}_{w}x{h}.ppm"), "wb") as f:
+                f.write(encode_ppm(img))
+        open(done, "w").close()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"path": [], "n_bytes": [], "width": [], "height": [],
+                    "decode_ok": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(path)
+                want_w, want_h = map(
+                    int, name.rsplit("_", 1)[1].split(".")[0].split("x")
+                )
+                img = decode_image(bytes(content))
+                rows["path"].append(name)
+                rows["n_bytes"].append(len(content))
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["decode_ok"].append(
+                    img.shape[1] == want_w
+                    and img.shape[0] == want_h
+                    and encode_ppm(img) == bytes(content)
+                )
+            yield pd.DataFrame(rows)
+
+    ensure_tuned(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(root)
+        .select("path", "content")
+    )
+    decoded = files.mapInPandas(
+        op, schema="path string, n_bytes long, width int, height int, decode_ok boolean"
+    )
+    return decoded.agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("decode_ok").alias("decode_ok_all"),
+        F.countDistinct("width", "height").alias("n_shapes"),
     )

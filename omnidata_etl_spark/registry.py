@@ -166,6 +166,7 @@ NO_PREPARE = frozenset(
         "sink_bucketed_join",
         "etl_compact_small_files",
         "ingest_orc",
+        "ingest_binary_assets",  # stages the asset dir at build
         # ingest demos: read_any's sniff + schema-inference jobs at build
         # ARE the declared ingest semantics
         "ingest_csv",

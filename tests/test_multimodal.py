@@ -59,3 +59,16 @@ def test_grouped_minmax_arrow_equals_pandas_and_window(spark, sf_dir):
     window = as_map(grouped_minmax_scale(spark, sf_dir))
     assert arrow == pandas == window
     assert len(arrow) > 0
+
+
+def test_binary_assets_ingest_self_evidencing(spark, sf_dir):
+    """binaryFile-source ingestion: every staged PPM must decode to its
+    filename-declared dimensions and re-encode byte-identically, proven by
+    the query's own decode_ok_all output column."""
+    from omnidata_etl_spark.registry import all_specs
+
+    row = all_specs()["ingest_binary_assets"].fn(spark, sf_dir).collect()[0]
+    assert row["n_assets"] == 24
+    assert row["decode_ok_all"] is True
+    assert row["n_shapes"] == 6
+    assert row["total_bytes"] > 0
