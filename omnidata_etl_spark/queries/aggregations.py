@@ -221,11 +221,31 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the one-pass 100 TB alternative to exact
     COUNT(DISTINCT). Rows-only: HLL sketches are engine-specific
-    (SURVEY.md §7.3 #5), never hash-comparable with DuckDB."""
+    (SURVEY.md §7.3 #5), never hash-comparable with DuckDB.
+
+    Self-evidencing (VERDICT r2 #8): ``within_bound`` re-derives the exact
+    distinct in the same frame and asserts the estimate sits inside 3× the
+    default rsd (0.05) — the sketch's own accuracy contract, checked by
+    the driver's rows-only run itself. The exact side is a second
+    aggregate over the same scan (one pass, no extra shuffle stage beyond
+    the distinct's own partials); at 100 TB you would drop the exact
+    column and keep only the sketch — the point of the op."""
     o = table(spark, sf_dir, "orders")
     return o.agg(
         F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
         F.count("*").alias("n_orders"),
+    ).select(
+        "approx_custs",
+        "exact_custs",
+        "n_orders",
+        (
+            (
+                F.abs(F.col("approx_custs") - F.col("exact_custs"))
+                / F.col("exact_custs").cast("double")
+            )
+            <= 3 * 0.05
+        ).alias("within_bound"),
     )
 
 

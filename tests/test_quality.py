@@ -213,3 +213,14 @@ def test_hll_partitioned_union_matches_exact(spark, sf_dir):
     assert len(rows) == 1
     r = rows[0]
     assert r["within_bound"], (r["hll_distinct"], r["exact_distinct"])
+
+
+def test_approx_distinct_self_evidencing(spark, sf_dir):
+    """agg_approx_distinct carries its own accuracy contract: the HLL
+    estimate must sit within 3x the default rsd of the exact distinct,
+    computed in the same frame."""
+    from omnidata_etl_spark.registry import all_specs
+
+    row = all_specs()["agg_approx_distinct"].fn(spark, sf_dir).collect()[0]
+    assert row["within_bound"] is True
+    assert row["exact_custs"] > 0
