@@ -322,6 +322,21 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
+    return pairs.crossJoin(F.broadcast(_planted_recall(spark, sf_dir, n=5)))
+
+
+def _planted_recall(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """One-row (planted_recall) frame: the fraction of 20 planted
+    (original, perturbed-copy) pairs the shingle(n)→minhash→band→join→
+    verify stack recovers on a 40-doc mini-corpus.
+
+    The probe runs on the 20 lexically-first documents + copies with the
+    leading token dropped, NOT on the full corpus: an LSH band collision
+    for a pair depends only on that pair's own signatures, so planted-pair
+    recall is IDENTICAL either way, and the mini-corpus keeps the main
+    pipeline's shingle-set plan byte-identical across the dedup family —
+    they share one cached intermediate in a warm session (planting into
+    the corpus forked the plan and cost ~2s/run at sf0.1)."""
     _OFF = 10_000_000_000  # sentinel id offset, far above any real doc_id
     originals = (
         table(spark, sf_dir, "documents")
@@ -339,11 +354,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the shared shingle path doesn't insert a 32-way repartition
     # whose per-stage task overhead dwarfs the probe's compute.
     probe_corpus._omnidata_splits = default_parallelism()
-    probe_sets = _shingle_sets_of(probe_corpus, n=5).persist()
+    probe_sets = _shingle_sets_of(probe_corpus, n=n).persist()
     probe_pairs = exact_jaccard(
         lsh_candidate_pairs(minhash_signatures(probe_sets)), probe_sets
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    recall = (
+    return (
         probe_pairs.filter(F.col("doc_b") == F.col("doc_a") + _OFF)
         .agg(F.count(F.lit(1)).alias("n_found"))
         .crossJoin(originals.agg(F.count(F.lit(1)).alias("n_pl")))
@@ -353,7 +368,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return pairs.crossJoin(F.broadcast(recall))
 
 
 @query("dedup_simhash", tags=("dedup", "simhash"))
@@ -636,13 +650,20 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram (token trigram) Jaccard ≥ 0.6, with
-    MinHash-LSH candidate generation over the same shingles. Rows-only."""
+    MinHash-LSH candidate generation over the same shingles. Rows-only.
+
+    Self-evidencing (same probe as dedup_near_minhash, at n=3):
+    ``planted_recall`` is the fraction of 20 (original, perturbed-copy)
+    pairs the same shingle→minhash→band→join→verify stack recovers on a
+    40-doc mini-corpus — the trigram machinery's own proof in the driver's
+    rows-only artifact."""
     shingle_sets = _shingle_sets(spark, sf_dir, n=3).persist()
     sigs = minhash_signatures(shingle_sets)
     cands = lsh_candidate_pairs(sigs)
-    return exact_jaccard(cands, shingle_sets).filter(
+    pairs = exact_jaccard(cands, shingle_sets).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
+    return pairs.crossJoin(F.broadcast(_planted_recall(spark, sf_dir, n=3)))
 
 
 @query("dedup_incremental_delta", tags=("dedup", "lsh", "incremental"))
