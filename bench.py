@@ -66,6 +66,8 @@ SKIP = {
     "ingest_orc",
     # stages a binary-asset dir on first call — same staging class
     "ingest_binary_assets",
+    # writes two staged parquet layouts per call — same staging class
+    "etl_zorder_layout",
 }
 
 

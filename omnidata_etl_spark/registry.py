@@ -165,6 +165,7 @@ NO_PREPARE = frozenset(
         "sink_text_source_roundtrip",
         "sink_bucketed_join",
         "etl_compact_small_files",
+        "etl_zorder_layout",  # writes two staged layouts at build
         "ingest_orc",
         "ingest_binary_assets",  # stages the asset dir at build
         # ingest demos: read_any's sniff + schema-inference jobs at build

@@ -78,3 +78,16 @@ def test_gzip_ingest_matches_plain_csv(spark, sf_dir):
     gz = all_specs()["ingest_csv_gzip"].fn(spark, sf_dir)
     csv = read_any(spark, fixture_path("people_comma.csv"))
     assert sorted(map(tuple, gz.collect())) == sorted(map(tuple, csv.collect()))
+
+
+def test_zorder_layout_skips_files(spark, sf_dir):
+    """Z-order clustering must (a) preserve query results exactly and
+    (b) prune strictly more files than the 1-D layout on the 2-D
+    predicate, both proven from the written parquet footers."""
+    from omnidata_etl_spark.registry import all_specs
+
+    row = all_specs()["etl_zorder_layout"].fn(spark, sf_dir).collect()[0]
+    assert row["rows_match"] is True
+    assert row["z_skips_fewer"] is True
+    assert row["files_scanned_z"] < row["files_scanned_naive"]
+    assert row["files_total"] == 16
