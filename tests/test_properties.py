@@ -147,3 +147,59 @@ def test_cents_matches_decimal_on_random_2dp(spark):
         F.sum(dec2("x")).cast("double").alias("exact_sum"),
     ).collect()[0]
     assert sums["fast_sum"] == sums["exact_sum"]
+
+
+def test_random_predicate_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz: 24 seeded random predicates over lineitem
+    (numeric comparisons, string equality, IN-lists, AND/OR/NOT combos)
+    must produce the same row count in Spark and DuckDB. Catches
+    engine-divergence classes the fixed oracle set can't (NULL-handling
+    in NOT, boundary comparisons on doubles, timestamp casts)."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    li = table(spark, sf_dir, "lineitem")
+
+    NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    STR_COL = "l_returnflag"
+    STR_VALS = ["A", "N", "R"]
+
+    def leaf(rng):
+        kind = rng.choice(["num_cmp", "str_eq", "in_list", "date_cmp"])
+        if kind == "num_cmp":
+            c = rng.choice(NUM)
+            op = rng.choice(["<", "<=", ">", ">=", "="])
+            v = round(rng.uniform(0, 60), 2)
+            return f"{c} {op} {v}"
+        if kind == "str_eq":
+            return f"{STR_COL} = '{rng.choice(STR_VALS)}'"
+        if kind == "in_list":
+            vals = ", ".join(str(rng.randint(1, 50)) for _ in range(3))
+            return f"CAST(l_quantity AS INT) IN ({vals})"
+        d = f"199{rng.randint(5, 9)}-0{rng.randint(1, 9)}-01"
+        return f"l_shipdate >= TIMESTAMP '{d}'"
+
+    def predicate(rng, depth=2):
+        if depth == 0 or rng.random() < 0.4:
+            p = leaf(rng)
+            return f"NOT ({p})" if rng.random() < 0.2 else p
+        a, b = predicate(rng, depth - 1), predicate(rng, depth - 1)
+        return f"({a}) {rng.choice(['AND', 'OR'])} ({b})"
+
+    rng = random.Random(0xC0FFEE)
+    for i in range(24):
+        pred = predicate(rng)
+        spark_n = li.where(pred).count()
+        duck_n = con.execute(
+            f"SELECT COUNT(*) FROM lineitem WHERE {pred}"
+        ).fetchone()[0]
+        assert spark_n == duck_n, f"case {i}: {pred}: {spark_n} vs {duck_n}"

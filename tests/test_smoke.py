@@ -82,3 +82,19 @@ def test_local_df_handles_parameterized_types(spark):
     assert row["b"] == Decimal("2.50")
     assert list(row["c"]) == [3, 4]
     assert df.columns == ["a", "b", "c"]
+
+
+def test_catalog_sizes_advisory_from_input(spark, sf_dir):
+    """The catalog sizer derives the AQE advisory partition bytes from
+    input stats: at bench scale it must land on the 1MB floor (so small
+    shuffles still fan out across cores), and the shuffle partition count
+    on the core floor."""
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.session import default_parallelism
+
+    table(spark, sf_dir, "lineitem")  # triggers the sizer
+    adv = int(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    assert adv == 1 << 20  # sf<=0.1 inputs sit on the floor
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == (
+        default_parallelism()
+    )
