@@ -68,6 +68,8 @@ SKIP = {
     "ingest_binary_assets",
     # writes two staged parquet layouts per call — same staging class
     "etl_zorder_layout",
+    # stages two parquet generations per call — same staging class
+    "ingest_schema_evolution",
 }
 
 

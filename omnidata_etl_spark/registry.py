@@ -168,6 +168,7 @@ NO_PREPARE = frozenset(
         "etl_zorder_layout",  # writes two staged layouts at build
         "ingest_orc",
         "ingest_binary_assets",  # stages the asset dir at build
+        "ingest_schema_evolution",  # stages two parquet generations at build
         # ingest demos: read_any's sniff + schema-inference jobs at build
         # ARE the declared ingest semantics
         "ingest_csv",

@@ -204,3 +204,15 @@ def test_xml_ingest_matches_csv_rows(spark):
     assert ada["full_name"] == "Ada Lovelace"
     assert float(ada["balance"]) == 100.50
     assert ada["active"] in (True, "true")
+
+
+def test_schema_evolution_merge(spark, sf_dir):
+    """mergeSchema across two staged parquet generations: unified 4-column
+    schema, rows from both, NULL backfill exactly on the old generation,
+    id sum preserved — all proven by the op's own evolution_ok column."""
+    from omnidata_etl_spark.registry import all_specs
+
+    row = all_specs()["ingest_schema_evolution"].fn(spark, sf_dir).collect()[0]
+    assert row["evolution_ok"] is True
+    assert row["n_columns"] == 4
+    assert row["n_backfilled"] * 2 == row["n_rows"]
