@@ -311,3 +311,68 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg((F.sum("rev_units_partial") / 10000.0).alias("revenue"))
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+        WITH probes AS (
+            SELECT c_custkey AS probe_id,
+                   CASE WHEN c_custkey % 30 = 0 THEN reverse(c_name)
+                        ELSE c_name || 'x' END AS probe_name
+            FROM customer WHERE c_custkey % 10 = 0
+        )
+        SELECT probe_id, probe_name,
+               c.c_custkey AS matched_key,
+               c.c_name AS matched_name,
+               CAST(levenshtein(probe_name, c.c_name) AS INTEGER) AS dist
+        FROM probes p
+        JOIN customer c
+          ON substring(p.probe_name, 10, 7) = substring(c.c_name, 10, 7)
+         AND levenshtein(p.probe_name, c.c_name) <= 1
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join — the entity-resolution/record-linkage pattern
+    (matching noisy source names against a canonical registry, the author/
+    domain dedup step of a corpus pipeline). A naive edit-distance join is
+    O(n·m); BLOCKING makes it tractable at 100 TB: both sides derive a
+    cheap blocking key (here a stable substring of the identifier), the
+    join is an EQUI-join on the block key — hash-partitioned, never a
+    cartesian — and the expensive levenshtein runs only on within-block
+    candidates. Probes are synthesized from customers: every 10th gets a
+    one-char typo suffix (links at distance 1); every 30th is corrupted
+    beyond recognition (reversed) and must fall out — blocking on the
+    OBSERVED string sends it to a garbage block with no candidates, the
+    honest production behavior for unlinkable records.
+
+    Plan: block-key equi-join with the distance predicate as a post-join
+    conjunct; the probe side is dim-sized here so it broadcasts, and at
+    equal scales AQE falls back to the hash-partitioned form. Levenshtein
+    agrees between Spark and DuckDB (same DP definition) — pinned by the
+    oracle hash."""
+    c = table(spark, sf_dir, "customer")
+    probes = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.when(
+            F.col("c_custkey") % 30 == 0, F.reverse(F.col("c_name"))
+        )
+        .otherwise(F.concat(F.col("c_name"), F.lit("x")))
+        .alias("probe_name"),
+    )
+    return probes.join(
+        c,
+        (
+            F.substring("probe_name", 10, 7) == F.substring("c_name", 10, 7)
+        )
+        & (F.levenshtein(F.col("probe_name"), F.col("c_name")) <= 1),
+    ).select(
+        "probe_id",
+        "probe_name",
+        F.col("c_custkey").alias("matched_key"),
+        F.col("c_name").alias("matched_name"),
+        F.levenshtein(F.col("probe_name"), F.col("c_name"))
+        .cast("int")
+        .alias("dist"),
+    )
