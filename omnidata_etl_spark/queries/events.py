@@ -380,3 +380,66 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 2.5)
         .select("event_id", "user_id", "value", z.alias("zscore"))
     )
+
+
+@query(
+    "events_daily_user_growth",
+    oracle="""
+        WITH days AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(d) AS fd FROM days GROUP BY user_id
+        ),
+        daily AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(COUNT(*) FILTER (WHERE fd = d) AS BIGINT) AS n_new
+            FROM days JOIN first_seen USING (user_id)
+            GROUP BY d
+        )
+        SELECT CAST(d AS VARCHAR) AS day,
+               n_active, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT)
+                   AS cumulative_users
+        FROM daily
+    """,
+    tags=("events", "agg", "window"),
+)
+def events_daily_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth dashboard: active users, NEW users (first-ever-seen
+    that day), and the cumulative distinct-user count — the other standard
+    growth-analytics operator next to retention.
+
+    One user-keyed shuffle does all the heavy lifting: distinct (user,
+    day) pairs collapse map-side, each user's first day is a MIN over
+    their own days (same shuffle), and the per-day rollup + running sum
+    work on |days| rows (bounded by the corpus time span, so the final
+    unpartitioned window is over dozens of rows at any data scale — the
+    one place a global window is legitimate). Day is emitted as an ISO
+    string (ns/µs dtype parity, SURVEY §7.3 #7)."""
+    ev = table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .groupBy("user_id", "d")
+        .agg(F.lit(1))
+        .select("user_id", "d")
+    )
+    first_seen = days.groupBy("user_id").agg(F.min("d").alias("fd"))
+    daily = (
+        days.join(first_seen, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("fd") == F.col("d")).cast("long")).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).alias("cumulative_users"),
+    )
