@@ -367,6 +367,12 @@ def _planted_recall(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
                 "planted_recall"
             )
         )
+        # 1-row deterministic per (session, sf_dir, n): persisted so
+        # prepared re-executions broadcast the cached row instead of
+        # re-running the mini-corpus LSH pipeline every time (the probe
+        # showed up as +0.2s/run on the ngram bench entry). Session-scoped
+        # cache discipline as elsewhere.
+        .persist()
     )
 
 
