@@ -361,18 +361,25 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("c_name"), F.lit("x")))
         .alias("probe_name"),
     )
-    return probes.join(
-        c,
-        (
-            F.substring("probe_name", 10, 7) == F.substring("c_name", 10, 7)
+    # equi-join on the block key ONLY, then compute levenshtein ONCE per
+    # candidate and filter — the distance in the join condition AND the
+    # projection would run the O(len²) DP twice per pair (no CSE across
+    # join predicate and project). Marginal on these 19-char identifiers
+    # (measured −2%); the single-evaluation shape is what matters on real
+    # free-text fields where the DP dominates.
+    return (
+        probes.join(
+            c,
+            F.substring("probe_name", 10, 7) == F.substring("c_name", 10, 7),
         )
-        & (F.levenshtein(F.col("probe_name"), F.col("c_name")) <= 1),
-    ).select(
-        "probe_id",
-        "probe_name",
-        F.col("c_custkey").alias("matched_key"),
-        F.col("c_name").alias("matched_name"),
-        F.levenshtein(F.col("probe_name"), F.col("c_name"))
-        .cast("int")
-        .alias("dist"),
+        .select(
+            "probe_id",
+            "probe_name",
+            F.col("c_custkey").alias("matched_key"),
+            F.col("c_name").alias("matched_name"),
+            F.levenshtein(F.col("probe_name"), F.col("c_name"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
     )
