@@ -967,3 +967,109 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_ratio"),
         )
     )
+
+
+BPE_MERGES = 20
+
+
+def _bpe_train(vocab: list[tuple[str, int]], k: int) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a (word, count) dictionary.
+
+    The standard algorithm (Sennrich et al. 2016) trains on the word-
+    FREQUENCY table, not the raw corpus — which is why it fits here: the
+    corpus-scale work is the distributed vocabulary count; the merge loop
+    is O(|vocab| × k) driver work on a frame that is vocabulary-sized at
+    any corpus scale. Ties break lexicographically so the learned merge
+    list is deterministic across runs and partitionings."""
+    words = {tuple(w) + ("</w>",): c for w, c in vocab}
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], tuple(map(str, kv[0]))))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_words = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def _bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@query("text_bpe_train_apply", tags=("text", "tokenize", "lm"))
+def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + application as a pipeline op — the step
+    between corpus curation and model training. Three phases, each at its
+    natural tier:
+
+    1. DISTRIBUTED: the word-frequency vocabulary (one tokenize pass +
+       groupBy — the only corpus-scale work; at 100 TB this is the same
+       map-side-combined shuffle as text_word_counts).
+    2. DRIVER: classic BPE merge learning on the (word, count) dict
+       (Sennrich-style; O(|vocab| × merges), vocabulary-sized at any
+       corpus scale — the standard practice, BPE never trains on raw
+       corpus text).
+    3. DISTRIBUTED: application back to the corpus WITHOUT a Python UDF —
+       every DISTINCT word is encoded once driver-side, the (word →
+       n_subtokens) map returns as a broadcast join against the exploded
+       corpus, and the rollup is plain aggregation. Encode-once-join is
+       how production vocab application scales: work ∝ |vocab|, not
+       |tokens|.
+
+    Self-evidencing (rows-only): ``decode_ok`` verifies every learned
+    encoding concatenates back to its original word (+ </w>), and
+    ``n_merges``/compression stats quantify the tokenizer. Per-source
+    avg subtokens/word is the output a curation dashboard tracks."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab_df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = [(r["w"], r["c"]) for r in vocab_df.collect()]  # |vocab|-bounded
+    merges = _bpe_train(vocab, BPE_MERGES)
+    enc = {w: _bpe_encode(w, merges) for w, _ in vocab}
+    decode_ok = all("".join(e) == w + "</w>" for w, e in enc.items())
+    enc_rows = [(w, len(e)) for w, e in enc.items()]
+    enc_df = F.broadcast(
+        spark.createDataFrame(enc_rows, "w string, n_sub int")
+    )
+    return (
+        tok.join(enc_df, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subtokens"),
+            F.round(
+                F.sum("n_sub") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_subtokens_per_word"),
+        )
+        .withColumn("n_merges", F.lit(len(merges)))
+        .withColumn("decode_ok", F.lit(decode_ok))
+    )

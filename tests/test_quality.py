@@ -224,3 +224,15 @@ def test_approx_distinct_self_evidencing(spark, sf_dir):
     row = all_specs()["agg_approx_distinct"].fn(spark, sf_dir).collect()[0]
     assert row["within_bound"] is True
     assert row["exact_custs"] > 0
+
+
+def test_bpe_train_apply_self_evidencing(spark, sf_dir):
+    """BPE op: every learned encoding must reconstruct its word, merges
+    must actually compress (avg subtokens/word well under chars/word), and
+    per-source stats must cover the corpus."""
+    from omnidata_etl_spark.registry import all_specs
+
+    rows = all_specs()["text_bpe_train_apply"].fn(spark, sf_dir).collect()
+    assert rows and all(r["decode_ok"] for r in rows)
+    assert all(r["n_merges"] == 20 for r in rows)
+    assert all(1.0 < r["avg_subtokens_per_word"] < 7.0 for r in rows)
