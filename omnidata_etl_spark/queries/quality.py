@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.queries._util import local_df, rev_units
+from omnidata_etl_spark.queries.text import _STOPWORDS_SQL
 from omnidata_etl_spark.registry import query
 
 
@@ -522,3 +523,65 @@ def etl_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sample_rank") <= 5)
     )
+
+
+@query(
+    "etl_sample_quality_weighted",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ({_STOPWORDS_SQL})))
+                               AS DOUBLE)
+                          / len(string_split(text, ' ')))
+                   + 0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                 / 100, 1.0) AS quality,
+                   CAST(concat('0x', substr(
+                            md5('qws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source
+        FROM scored
+        WHERE bucket < CAST(quality * 1000000 AS BIGINT)
+    """,
+    tags=("quality", "ml", "sampling"),
+)
+def etl_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each document with
+    probability equal to its quality score — the soft quality filter
+    (CCNet / Gopher-style) that downsamples low-quality text instead of
+    hard-cutting it, preserving distributional diversity.
+
+    Same stable-key md5-bucket mechanism as etl_corpus_mix ('qws:' salt,
+    1e-6 resolution), so membership is per-document deterministic —
+    rerun/append-stable, independent of split or mix assignment, and
+    exactly reproducible in the DuckDB oracle (the quality formula is the
+    oracle-proven text_quality_score expression). One scan, per-row
+    filter, no shuffle at any corpus scale."""
+    from omnidata_etl_spark.queries.text import STOPWORDS
+
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    stop_ratio = F.size(
+        F.filter(tokens, lambda t: t.isin(*STOPWORDS))
+    ).cast("double") / n_tokens
+    quality = 0.5 * stop_ratio + 0.5 * F.least(
+        n_tokens.cast("double") / 100, F.lit(1.0)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return docs.where(
+        bucket < (quality * 1_000_000).cast("bigint")
+    ).select("doc_id", "source")
