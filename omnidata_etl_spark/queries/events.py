@@ -443,3 +443,67 @@ def events_daily_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "events_resample_gapfill",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events WHERE event_type = 'error'
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        ),
+        actual AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100 AS sum_value
+            FROM events WHERE event_type = 'error'
+            GROUP BY date_trunc('hour', ts)
+        )
+        SELECT CAST(spine.h AS VARCHAR) AS hour,
+               COALESCE(actual.n, 0) AS n_events,
+               COALESCE(actual.sum_value, 0.0) AS sum_value
+        FROM spine LEFT JOIN actual ON spine.h = actual.h
+    """,
+    tags=("events", "timeseries", "agg"),
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: hourly counts of a sparse
+    event type over a COMPLETE hour spine — missing hours appear as
+    explicit zeros (the shape every downstream anomaly detector, chart,
+    and forecast model needs; a naive groupBy silently drops empty
+    buckets).
+
+    The spine is generated, not scanned: ``sequence(min, max, 1 hour)``
+    exploded from the 1-row bounds aggregate — O(#hours) rows regardless
+    of corpus size — and the left join against the bucketed aggregate is
+    a broadcast of the tiny spine side at any scale. Money-style exact
+    sum (value is 2dp) keeps the oracle hash stable; hour emitted as ISO
+    string per the ns/µs dtype-parity rule."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / 100
+        ).alias("sum_value"),
+    )
+    return spine.join(actual, "h", "left").select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
