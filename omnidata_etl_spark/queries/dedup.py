@@ -325,18 +325,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.crossJoin(F.broadcast(_planted_recall(spark, sf_dir, n=5)))
 
 
-def _planted_recall(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """One-row (planted_recall) frame: the fraction of 20 planted
-    (original, perturbed-copy) pairs the shingle(n)→minhash→band→join→
-    verify stack recovers on a 40-doc mini-corpus.
-
-    The probe runs on the 20 lexically-first documents + copies with the
-    leading token dropped, NOT on the full corpus: an LSH band collision
-    for a pair depends only on that pair's own signatures, so planted-pair
-    recall is IDENTICAL either way, and the mini-corpus keeps the main
-    pipeline's shingle-set plan byte-identical across the dedup family —
-    they share one cached intermediate in a warm session (planting into
-    the corpus forked the plan and cost ~2s/run at sf0.1)."""
+def _probe_corpus(spark: SparkSession, sf_dir: str):
+    """(originals, originals ∪ perturbed copies, id offset) — the shared
+    40-doc planted-pair probe corpus (copies drop the leading token). The
+    tiny frame is stamped as already-wide so spread() inside shared paths
+    doesn't insert a 32-way repartition whose per-stage task overhead
+    dwarfs the probe's compute."""
     _OFF = 10_000_000_000  # sentinel id offset, far above any real doc_id
     originals = (
         table(spark, sf_dir, "documents")
@@ -350,10 +344,23 @@ def _planted_recall(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
             F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
         )
     )
-    # 40 rows need no fan-out: mark the frame as already wide so spread()
-    # inside the shared shingle path doesn't insert a 32-way repartition
-    # whose per-stage task overhead dwarfs the probe's compute.
     probe_corpus._omnidata_splits = default_parallelism()
+    return originals, probe_corpus, _OFF
+
+
+def _planted_recall(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """One-row (planted_recall) frame: the fraction of 20 planted
+    (original, perturbed-copy) pairs the shingle(n)→minhash→band→join→
+    verify stack recovers on a 40-doc mini-corpus.
+
+    The probe runs on the 20 lexically-first documents + copies with the
+    leading token dropped, NOT on the full corpus: an LSH band collision
+    for a pair depends only on that pair's own signatures, so planted-pair
+    recall is IDENTICAL either way, and the mini-corpus keeps the main
+    pipeline's shingle-set plan byte-identical across the dedup family —
+    they share one cached intermediate in a warm session (planting into
+    the corpus forked the plan and cost ~2s/run at sf0.1)."""
+    originals, probe_corpus, _OFF = _probe_corpus(spark, sf_dir)
     probe_sets = _shingle_sets_of(probe_corpus, n=n).persist()
     probe_pairs = exact_jaccard(
         lsh_candidate_pairs(minhash_signatures(probe_sets)), probe_sets
@@ -391,9 +398,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ~20% faster at sf0.1, with the token hashed once before the 64
     extractions.
     """
+    docs = table(spark, sf_dir, "documents")
+    fps = _simhash_frame(docs)
+    # Self-evidencing: planted near-identical pairs (the shared 40-doc
+    # probe) must land within Hamming distance 8 of their originals under
+    # the SAME fingerprint pipeline — `planted_close_rate` broadcasts the
+    # proof onto every row (1.0 in the driver's rows-only artifact).
+    originals, probe_corpus, _OFF = _probe_corpus(spark, sf_dir)
+    pf = _simhash_frame(probe_corpus)
+    a = pf.select(F.col("doc_id").alias("ida"), F.col("simhash64").alias("fa"))
+    b = pf.select(
+        (F.col("doc_id") - _OFF).alias("ida"),
+        F.col("simhash64").alias("fb"),
+    ).where(F.col("ida") >= 0)
+    close = (
+        a.join(b, "ida")
+        .agg(
+            F.sum(
+                (
+                    F.bit_count(
+                        F.col("fa").bitwiseXOR(F.col("fb"))
+                    )
+                    <= 8
+                ).cast("long")
+            ).alias("n_close"),
+            F.count(F.lit(1)).alias("n_pl"),
+        )
+        .select(
+            (F.col("n_close").cast("double") / F.col("n_pl")).alias(
+                "planted_close_rate"
+            )
+        )
+        .persist()  # 1-row deterministic — same cache discipline as
+        # _planted_recall
+    )
+    return fps.crossJoin(F.broadcast(close))
+
+
+def _simhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash64) for any (doc_id, text) frame — the simhash body
+    shared by the corpus query and its planted-pair probe."""
     from omnidata_etl_spark.queries._util import spread
 
-    docs = table(spark, sf_dir, "documents")
     tok = (
         spread(docs)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
