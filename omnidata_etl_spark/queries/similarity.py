@@ -349,11 +349,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = spread(emb).withColumn("cid", nearest_cid(F.col("embedding")))
     qe = F.array(*[F.lit(float(v)) for v in qv])
     cos = F.round(cosine(F.col("embedding"), qe), 4)
-    return (
+    approx = (
         assigned.filter(F.col("cid").isin(probe) & (F.col("vec_id") != 0))
         .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
+    )
+    # Self-evidencing, same device as ann_lsh_topk: flag which approximate
+    # hits also sit in the exact brute-force top-10 (unrounded score,
+    # vec_id tiebreak), so the driver's rows-only artifact carries the
+    # per-row recall of the probed-cells search itself.
+    brute = (
+        spread(emb)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine(F.col("embedding"), qe).alias("b_cos"))
+        .orderBy(F.desc("b_cos"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("b_vec_id"))
+    )
+    return (
+        approx.join(brute, approx.vec_id == F.col("b_vec_id"), "left")
+        .select(
+            "vec_id",
+            "cosine",
+            F.col("b_vec_id").isNotNull().alias("in_brute_topk"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
     )
 
 
