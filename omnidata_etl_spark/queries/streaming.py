@@ -16,7 +16,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -158,8 +158,13 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running (event count, value total) kept in explicit group
     state — the engine's extension point for operators Structured
-    Streaming lacks natively. Rows-only; tests assert the final state
-    equals the batch groupBy (tests/test_streaming.py)."""
+    Streaming lacks natively. Rows-only, self-evidencing: update mode
+    emits every intermediate state, so the FINAL state per user (the
+    max-count row) is re-joined against the batch groupBy of the same
+    events and ``matches_batch`` certifies streaming==batch per user in
+    the driver's own artifact (cent-exact comparison — the 2dp values sum
+    exactly in either order at these magnitudes). The same equality is
+    pinned in tests/test_streaming.py."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -192,7 +197,37 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         _stop(q)
-    return spark.table(qname)
+    mem = spark.table(qname)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("total_value")
+    )
+    final = (
+        mem.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    from omnidata_etl_spark.catalog import table as _table
+
+    batch = (
+        _table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum("value").alias("b_total"),
+        )
+    )
+    return final.join(batch, "user_id").select(
+        "user_id",
+        "n_events",
+        "total_value",
+        (
+            (F.col("n_events") == F.col("b_n"))
+            & (
+                F.round(F.col("total_value") * 100).cast("long")
+                == F.round(F.col("b_total") * 100).cast("long")
+            )
+        ).alias("matches_batch"),
+    )
 
 
 @query("stream_foreachbatch_upsert", tags=("streaming", "sink"))
