@@ -46,6 +46,13 @@ PROBE_QUERIES = (
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
     "tpch_q20_promo_share_suppliers",
+    "text_tfidf_topterms",
+    "text_boilerplate_ratio",
+    "join_fuzzy_blocked",
+    "events_resample_gapfill",
+    "events_daily_user_growth",
+    "text_bpe_train_apply",
+    "etl_sample_quality_weighted",
 )
 KEY_OFFSET = 10_000_000_000
 
