@@ -462,3 +462,80 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_custs")
     )
+
+
+@query(
+    "agg_exact_moments",
+    oracle="""
+        SELECT l_returnflag,
+               n,
+               CAST(CAST(den_q AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                    AS DOUBLE) AS var_qty,
+               CAST(num AS DOUBLE)
+                   / sqrt(CAST(den_q AS DOUBLE) * CAST(den_p AS DOUBLE))
+                   AS corr_qty_price
+        FROM (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS den_q,
+                   COUNT(*) * SUM(p * p) - SUM(p) * SUM(p) AS den_p,
+                   COUNT(*) * SUM(q * p) - SUM(q) * SUM(p) AS num
+            FROM (
+                SELECT l_returnflag,
+                       CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)) AS q,
+                       CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS DECIMAL(38,0)) AS p
+                FROM lineitem
+            )
+            GROUP BY l_returnflag
+        )
+    """,
+    tags=("agg", "stats"),
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance and correlation with EXACT integer moments — the
+    determinism-hardened form of the statistical aggregates. Stock
+    ``stddev``/``corr`` stream partial (mean, M2) states whose float
+    merges are partition-order-dependent — two runs of the same engine
+    can differ in low bits, and two engines always do, so they can never
+    hash-match. Here the five sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy, Σy²) are summed exactly — quantity as int64, price as cents,
+    squares in DECIMAL(38,0) (Σcents² overflows int64 at ~1e5 rows; 38
+    digits carry ~1e12 rows × max-price before the documented DECIMAL
+    headroom bound) — and the classical cross-multiplied formulas
+    (n·Σxy − ΣxΣy etc.) stay in exact decimal until ONE cast to double
+    per term. From there both engines perform the identical IEEE
+    divide/sqrt sequence, so the doubles are bit-equal and the driver
+    hash holds. Map-side partial aggregation throughout — one 3-group
+    shuffle of six numbers per group at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint").cast("decimal(38,0)")
+    p = (
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    base = li.select("l_returnflag", q.alias("q"), p.alias("p"))
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+    )
+    den_q = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    den_p = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    num = F.col("n") * F.col("sqp") - F.col("sq") * F.col("sp")
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            den_q.cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("var_qty"),
+        (
+            num.cast("double")
+            / F.sqrt(den_q.cast("double") * den_p.cast("double"))
+        ).alias("corr_qty_price"),
+    )
