@@ -539,3 +539,89 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(den_q.cast("double") * den_p.cast("double"))
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "agg_linear_fit",
+    oracle="""
+        SELECT l_returnflag, n,
+               CAST(num AS DOUBLE) / CAST(den_q AS DOUBLE) / 100 AS slope,
+               (CAST(sp AS DOUBLE) / 100
+                - (CAST(num AS DOUBLE) / CAST(den_q AS DOUBLE) / 100)
+                  * CAST(sq AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept,
+               (CAST(num AS DOUBLE)
+                / sqrt(CAST(den_q AS DOUBLE) * CAST(den_p AS DOUBLE)))
+               * (CAST(num AS DOUBLE)
+                  / sqrt(CAST(den_q AS DOUBLE) * CAST(den_p AS DOUBLE)))
+                   AS r2
+        FROM (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(q) AS sq, SUM(p) AS sp,
+                   COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS den_q,
+                   COUNT(*) * SUM(p * p) - SUM(p) * SUM(p) AS den_p,
+                   COUNT(*) * SUM(q * p) - SUM(q) * SUM(p) AS num
+            FROM (
+                SELECT l_returnflag,
+                       CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)) AS q,
+                       CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS DECIMAL(38,0)) AS p
+                FROM lineitem
+            )
+            GROUP BY l_returnflag
+        )
+    """,
+    tags=("agg", "stats", "ml"),
+)
+def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares line (price ~ quantity): slope, intercept,
+    R² — the distributed regression primitive (drift monitors, quick
+    feature screens, pricing sanity checks) on the same exact-sufficient-
+    statistics machinery as agg_exact_moments: integer/DECIMAL(38) sums,
+    classical cross-multiplied formulas in exact decimal, ONE cast to
+    double per term, then an identical IEEE op sequence on both engines —
+    bit-equal fit coefficients, pinned by the oracle hash. Price moments
+    are cent-scaled for exactness; slope and intercept convert to currency
+    units (/100) with the division sequenced identically on both sides so
+    the doubles stay bit-equal. One tiny shuffle at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint").cast("decimal(38,0)")
+    p = (
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    base = li.select("l_returnflag", q.alias("q"), p.alias("p"))
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+    )
+    den_q = (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast(
+        "double"
+    )
+    den_p = (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast(
+        "double"
+    )
+    num = (F.col("n") * F.col("sqp") - F.col("sq") * F.col("sp")).cast(
+        "double"
+    )
+    slope = num / den_q / 100
+    corr = num / F.sqrt(den_q * den_p)
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        (
+            (
+                F.col("sp").cast("double") / 100
+                - slope * F.col("sq").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (corr * corr).alias("r2"),
+    )
