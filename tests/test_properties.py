@@ -203,3 +203,44 @@ def test_random_predicate_differential_vs_duckdb(spark, sf_dir):
             f"SELECT COUNT(*) FROM lineitem WHERE {pred}"
         ).fetchone()[0]
         assert spark_n == duck_n, f"case {i}: {pred}: {spark_n} vs {duck_n}"
+
+
+def test_random_groupby_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over the aggregation layer: 12 seeded random
+    (group keys, filter, exact aggregates) combinations over lineitem must
+    match DuckDB row-for-row — counts and exact cent-scaled sums compared
+    as integers, so float summation order can't blur the comparison."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_fuzz")
+
+    KEYS = ["l_returnflag", "l_linestatus", "CAST(l_quantity AS INT) % 5"]
+    rng = random.Random(0xBEEF)
+    for i in range(12):
+        keys = rng.sample(KEYS, rng.randint(1, 2))
+        thresh = round(rng.uniform(10, 50), 1)
+        key_sql = ", ".join(keys)
+        sql = (
+            f"SELECT {key_sql}, COUNT(*) AS n, "
+            f"SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents "
+            f"FROM {{t}} WHERE l_quantity <= {thresh} "
+            f"GROUP BY {key_sql}"
+        )
+        a = sorted(
+            tuple(r) for r in spark.sql(sql.format(t="li_fuzz")).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.execute(sql.format(t="lineitem")).fetchall()
+        )
+        assert a == b, f"case {i}: {sql}"
