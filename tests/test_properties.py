@@ -244,3 +244,49 @@ def test_random_groupby_differential_vs_duckdb(spark, sf_dir):
             for r in con.execute(sql.format(t="lineitem")).fetchall()
         )
         assert a == b, f"case {i}: {sql}"
+
+
+def test_random_window_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over the window layer: 8 seeded random
+    (partition key, order direction, frame) window specs over lineitem —
+    rank and running cent-sums with a unique (l_orderkey, l_linenumber)
+    tiebreak so ordering is total and both engines agree exactly."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_wfuzz")
+
+    PARTS = ["l_returnflag", "l_linestatus"]
+    rng = random.Random(0xD1CE)
+    for i in range(8):
+        part = rng.choice(PARTS)
+        direction = rng.choice(["ASC", "DESC"])
+        qcap = rng.randint(3, 12)
+        order = (
+            f"CAST(round(l_extendedprice * 100) AS BIGINT) {direction}, "
+            f"l_orderkey, l_linenumber"
+        )
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order}) AS rn, "
+            f"SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            f"OVER (PARTITION BY {part} ORDER BY {order} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents "
+            f"FROM {{t}} WHERE l_quantity <= {qcap}"
+        )
+        a = sorted(
+            tuple(r) for r in spark.sql(sql.format(t="li_wfuzz")).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.execute(sql.format(t="lineitem")).fetchall()
+        )
+        assert a == b, f"case {i}: {sql}"
