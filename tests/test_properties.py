@@ -290,3 +290,57 @@ def test_random_window_differential_vs_duckdb(spark, sf_dir):
             for r in con.execute(sql.format(t="lineitem")).fetchall()
         )
         assert a == b, f"case {i}: {sql}"
+
+
+def test_random_join_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over the join layer: 8 seeded random
+    (join type, filters) lineitem⋈orders combinations, compared as exact
+    grouped counts + cent-sums (outer-join NULL semantics included)."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_jfuzz")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("o_jfuzz")
+
+    rng = random.Random(0xFACE)
+    for i in range(8):
+        jt = rng.choice(["JOIN", "LEFT JOIN", "SEMI", "ANTI"])
+        qcap = rng.randint(5, 45)
+        prio = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"])
+        if jt in ("SEMI", "ANTI"):
+            op = "IN" if jt == "SEMI" else "NOT IN"
+            sql = (
+                f"SELECT o_orderpriority, COUNT(*) AS n "
+                f"FROM {{o}} WHERE o_orderkey {op} "
+                f"(SELECT l_orderkey FROM {{li}} WHERE l_quantity <= {qcap}) "
+                f"GROUP BY o_orderpriority"
+            )
+        else:
+            sql = (
+                f"SELECT o_orderpriority, COUNT(l_orderkey) AS n, "
+                f"SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents "
+                f"FROM {{o}} {jt} {{li}} ON o_orderkey = l_orderkey "
+                f"AND l_quantity <= {qcap} "
+                f"WHERE o_orderpriority <> '{prio}' "
+                f"GROUP BY o_orderpriority"
+            )
+        a = sorted(
+            tuple(r)
+            for r in spark.sql(sql.format(o="o_jfuzz", li="li_jfuzz")).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql.format(o="orders", li="lineitem")
+            ).fetchall()
+        )
+        assert a == b, f"case {i}: {sql}"
