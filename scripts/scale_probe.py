@@ -53,6 +53,8 @@ PROBE_QUERIES = (
     "events_daily_user_growth",
     "text_bpe_train_apply",
     "etl_sample_quality_weighted",
+    "agg_exact_moments",
+    "agg_linear_fit",
 )
 KEY_OFFSET = 10_000_000_000
 
