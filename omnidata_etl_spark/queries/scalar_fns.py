@@ -289,3 +289,37 @@ def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.variant_get(F.parse_json("props"), "$.k", "int").alias("k_int"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS low_byte,
+               o_orderkey | 4096 AS with_flag,
+               xor(o_orderkey, 1365) AS toggled,
+               o_orderkey << 2 AS shifted_up,
+               o_orderkey >> 3 AS shifted_down,
+               CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        FROM orders
+        WHERE o_orderkey < 1000
+    """,
+    tags=("scalar", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions — AND/OR/XOR masks, shifts, and popcount
+    (the primitives the engine's own simhash lane packing and z-order
+    interleaving are built from, exposed as a declared scalar surface).
+    Integer-exact on both engines by definition; bounded by the key filter
+    so the demo output stays small."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1365)).alias("toggled"),
+        F.shiftleft(k, 2).alias("shifted_up"),
+        F.shiftright(k, 3).alias("shifted_down"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )
