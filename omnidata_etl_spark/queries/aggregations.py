@@ -625,3 +625,37 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         (corr * corr).alias("r2"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100
+                   AS wavg_price,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per flag — the volume-weighted
+    metric shape (VWAP, weighted quality scores, per-token averages).
+    Exact int64 numerator (cents × integral quantity) and denominator,
+    ONE double division sequence identical on both engines — the same
+    order-proof discipline as the money sums, extended to ratios.
+    Overflow headroom: Σ(cents·qty) ≤ 5e10/row — int64 carries ~2e8 rows
+    per group before the documented DECIMAL fallback applies."""
+    li = table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * F.col("l_quantity").cast("bigint")
+    )
+    den = F.sum(F.col("l_quantity").cast("bigint"))
+    return li.groupBy("l_returnflag").agg(
+        (num.cast("double") / den.cast("double") / 100).alias("wavg_price"),
+        den.cast("bigint").alias("total_qty"),
+    )
