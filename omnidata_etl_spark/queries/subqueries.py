@@ -201,3 +201,45 @@ def sql_api_cte_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY seg_total DESC, c_mktsegment
         LIMIT 3
     """)
+
+
+@query(
+    "subquery_select_scalar_correlated",
+    oracle="""
+        SELECT o_orderkey,
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS n_lines,
+               (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DOUBLE)
+                FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line
+        FROM orders
+        WHERE o_orderkey < 500
+    """,
+    tags=("subquery", "correlated"),
+)
+def subquery_select_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list — the last canonical
+    subquery position (WHERE-scalar, NOT IN, EXISTS, and LATERAL are the
+    other declared shapes). Catalyst decorrelates both subqueries into
+    left outer aggregate joins on the correlation key; the COUNT form
+    exercises the COUNT-bug handling (an order with no lines must read 0,
+    not NULL — the decorrelation inserts the coalesce), MAX stays NULL.
+    Expressed as SQL text so the decorrelation itself is what's exercised;
+    one lineitem scan per subquery is the cost model Catalyst chooses at
+    this shape (a manual rewrite would share one scan — the declared op
+    keeps the canonical form)."""
+    from omnidata_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS n_lines,
+               (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DOUBLE)
+                FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line
+        FROM orders
+        WHERE o_orderkey < 500
+        """
+    )
