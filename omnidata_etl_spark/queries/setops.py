@@ -116,3 +116,39 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return _cust_keys(spark, sf_dir).subtract(supp)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   NULL::DOUBLE AS o_totalprice
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL BY NAME
+            SELECT o_totalprice, o_orderkey,
+                   NULL::VARCHAR AS o_orderpriority
+            FROM orders WHERE o_orderstatus = 'O'
+        ) u
+    """,
+    tags=("setop", "schema"),
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-based union across mismatched schemas
+    (``unionByName(allowMissingColumns=True)``) — the in-memory analog of
+    parquet schema evolution: two generations of the same feed with
+    different column sets (and different column ORDER — name resolution,
+    not position) append into one frame with NULL backfill. The positional
+    ``UNION ALL`` would mis-align or reject these inputs; the declared op
+    pins the name-resolved semantics against DuckDB's UNION ALL BY NAME."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    v2 = o.where(F.col("o_orderstatus") == "O").select(
+        "o_totalprice", "o_orderkey"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
