@@ -383,3 +383,43 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 1)
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+        WITH a AS (
+            SELECT nullif(o_orderpriority, '5-LOW') AS pri,
+                   CAST(COUNT(*) AS BIGINT) AS n_f
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        ),
+        b AS (
+            SELECT nullif(o_orderpriority, '5-LOW') AS pri,
+                   CAST(COUNT(*) AS BIGINT) AS n_o
+            FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+        )
+        SELECT a.pri, n_f, n_o
+        FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri
+    """,
+    tags=("join", "null-semantics"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the NULL
+    group on each side must MATCH (one row out), where ordinary ``=``
+    silently drops it — the classic silent-data-loss corner when a join
+    key is nullable (here '5-LOW' nulled out as the stand-in). Both sides
+    pre-aggregate so the NULL-key match stays 1×1; Spark plans eqNullSafe
+    as a hash join on a null-safe key, not a cartesian."""
+    o = table(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    a = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy(pri.alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    b = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy(pri.alias("pri_b"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return a.join(b, a.pri.eqNullSafe(b.pri_b)).select("pri", "n_f", "n_o")
