@@ -81,18 +81,29 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers ranked by revenue of returned items.
-    Nation broadcasts; facts join on their equi-keys; top-20 tie-broken by
-    c_custkey."""
+
+    Plan (r5, the q5-style reduction): the returnflag-filtered lineitem
+    joins ONLY the two-column orders projection and the revenue is fully
+    aggregated per o_custkey BEFORE customer enters — every grouping
+    column besides the sum is functionally dependent on c_custkey, so
+    pre-agg-below-the-join is semantics-preserving (each order has one
+    customer; int64-cents sums are associative). The wide customer row
+    (name/acctbal) and the broadcast nation then decorate one row per
+    customer instead of riding through the fact join and the big groupBy —
+    at 100 TB the shuffle carries (custkey, cents) pairs, not customer
+    payloads. Top-20 tie-broken by c_custkey."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+    rev_per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
         .agg(crevsum().alias("revenue"))
+    )
+    return (
+        rev_per_cust.join(c, rev_per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)

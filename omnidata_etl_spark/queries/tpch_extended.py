@@ -63,40 +63,56 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two roles of the same `nation` dim (supplier-side and customer-side),
     a disjunctive cross-nation predicate, and a year() rollup.
 
-    Plan: both nation copies broadcast; the nation-pair filter applies
-    map-side after the dim joins, before the groupBy shuffle. The fact-fact
-    joins (lineitem-orders-customer) shuffle on their keys; at cluster scale
-    AQE turns them into sort-merge with coalesced partitions."""
-    s = table(spark, sf_dir, "supplier")
+    Plan (r5, the q5-style dim-first reduction): the nation filter is
+    selective — only the two named nations matter on EITHER side — so
+    both role copies are filtered to the pair BEFORE touching a fact.
+    supplier⋈nation-pair collapses to a broadcastable (suppkey,
+    supp_nation) dim that semi-reduces lineitem map-side to ~2/25 of the
+    date window; customer⋈nation-pair likewise reduces orders to ~2/25 on
+    the custkey shuffle. The residual fact-fact join (reduced lineitem ⋈
+    reduced orders on orderkey) then moves ~1/12 of what the r4 plan
+    shuffled, and the disjunctive cross-pair predicate degenerates to
+    supp_nation <> cust_nation (both sides already ∈ {N1,N2}), applied as
+    a join conjunct. No merge hints needed: the hinted SMJ existed to stop
+    a misestimated multi-million-row broadcast of UNREDUCED orders; the
+    reduced sides carry a selective join above them, the hazard the r4
+    ×10 probe flagged, and AQE picks broadcast vs SMJ from runtime sizes."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    # merge hints: orders and customer scale with SF and arrive UNREDUCED
-    # (no selective predicate), so their joins are fact-fact by the
-    # engine's invariant. Without the hint the planner's pruned-scan
-    # estimate slips under the broadcast threshold in the sf1-sf10 window
-    # and builds a multi-million-row hash table (r4 ×10 probe: broadcast
-    # 1080ms vs hinted SMJ 886ms — slower locally AND the OOM shape at
-    # cluster scale). AQE respects the hint at every scale.
-    o = table(spark, sf_dir, "orders").hint("merge")
-    c = table(spark, sf_dir, "customer").hint("merge")
-    n1 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n_pair = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
     )
-    n2 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    s2 = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n_pair),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    c2 = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n_pair),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li_red = li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+    o_red = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(c2, F.col("o_custkey") == c2.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
     return (
-        s.join(li, s.s_suppkey == li.l_suppkey)
-        .join(o, o.o_orderkey == li.l_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .where(pair)
+        li_red.join(
+            o_red,
+            (li_red.l_orderkey == o_red.o_orderkey)
+            & (F.col("supp_nation") != F.col("cust_nation")),
+        )
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(crevsum().alias("revenue"))
