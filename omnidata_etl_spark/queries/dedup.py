@@ -459,8 +459,12 @@ def _simhash_frame(docs: DataFrame) -> DataFrame:
     # per-row work (measured −25% on the agg stage, bit-parity pinned by
     # tests). 21-bit lanes cap a document at 2^21−1 tokens; beyond that a
     # doc isn't a "document" for near-dup purposes (chunk first — see
-    # udtf_chunk_documents), so the engine asserts the bound instead of
-    # widening lanes.
+    # udtf_chunk_documents), so the fingerprint expression RAISES on any
+    # over-bound doc (the CASE below — a per-doc-row comparison inside
+    # codegen, not a separate pass) instead of widening lanes. The guard
+    # lives inside the projected expression itself so column pruning can
+    # never drop it (r5 ADVICE: the docstring used to claim an assertion
+    # that did not exist).
     lanes = {j: [b for b in (j, j + 22, j + 44) if b < 64] for j in range(22)}
     sums = ", ".join(
         "sum("
@@ -483,7 +487,14 @@ def _simhash_frame(docs: DataFrame) -> DataFrame:
         for j, bits in lanes.items()
         for k, b in enumerate(bits)
     )
-    return votes.select("doc_id", F.expr(fp).alias("simhash64"))
+    fp_guarded = (
+        f"CASE WHEN n >= {1 << 21} THEN raise_error(concat("
+        "'simhash: document ', cast(doc_id AS STRING), ' has ', "
+        "cast(n AS STRING), ' tokens (>= 2^21) — lane-packed bit counters "
+        "would overflow; chunk it first (udtf_chunk_documents)')) "
+        f"ELSE {fp} END"
+    )
+    return votes.select("doc_id", F.expr(fp_guarded).alias("simhash64"))
 
 
 def connected_components(

@@ -352,8 +352,16 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal scales AQE falls back to the hash-partitioned form. Block
     granularity is the candidate-count lever: an 8-char key yields ~10
     candidates per block (r5; the earlier 7-char key yielded ~100 — 10×
-    the levenshtein evals for the identical result set, since any pair
-    within distance 1 necessarily agrees on the longer block too).
+    the levenshtein evals for the identical result set). The identical-
+    result claim is DATA-SPECIFIC, not a property of distance-1 pairs in
+    general: this fixture's linkable probes are trailing-appends of
+    c_name, so characters 10-17 are untouched and every true match shares
+    the full 8-char block; a distance-1 substitution INSIDE the block
+    window (e.g. ...0010 vs ...0020) would pass a 7-char key but miss the
+    8-char one. Widening the block key always trades recall for candidate
+    count — pick the window from the known corruption model (here:
+    suffix typos), and keep the oracle's blocking identical so the parity
+    hash pins the choice.
     Levenshtein agrees between Spark and DuckDB (same DP definition) —
     pinned by the oracle hash."""
     c = table(spark, sf_dir, "customer")

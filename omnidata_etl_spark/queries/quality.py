@@ -543,7 +543,7 @@ def etl_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, source
         FROM scored
-        WHERE bucket < CAST(quality * 1000000 AS BIGINT)
+        WHERE bucket < CAST(FLOOR(quality * 1000000) AS BIGINT)
     """,
     tags=("quality", "ml", "sampling"),
 )
@@ -558,7 +558,12 @@ def etl_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerun/append-stable, independent of split or mix assignment, and
     exactly reproducible in the DuckDB oracle (the quality formula is the
     oracle-proven text_quality_score expression). One scan, per-row
-    filter, no shuffle at any corpus scale."""
+    filter, no shuffle at any corpus scale.
+
+    The threshold is FLOOR(quality*1e6) explicitly on BOTH sides: Spark's
+    double→bigint cast truncates while DuckDB's rounds to nearest, so a
+    bare CAST diverges whenever bucket == floor(quality*1e6) and the
+    fractional part is ≥ .5 (~5e-7/doc — a latent hash flake, r5 ADVICE)."""
     from omnidata_etl_spark.queries.text import STOPWORDS
 
     docs = table(spark, sf_dir, "documents")
@@ -583,5 +588,5 @@ def etl_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 1_000_000
     )
     return docs.where(
-        bucket < (quality * 1_000_000).cast("bigint")
+        bucket < F.floor(quality * 1_000_000).cast("bigint")
     ).select("doc_id", "source")

@@ -18,35 +18,14 @@ from omnidata_etl_spark.registry import query
 FINGERPRINT_SHINGLE = 5
 
 
-def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared persisted (doc_id, source, tok, c) token-count frame.
-
-    ONE tokenize→explode pass collapsed to per-(doc, token) counts by a
-    map-side partial agg — the raw token stream never shuffles, and the
-    counted frame is ~|distinct pairs|, not |tokens|. The three ranked-
-    retrieval/featurization queries (bm25, tfidf, perplexity) all consume
-    exactly this frame and build it through THIS helper, so their analyzed
-    plans are identical and Spark's cache manager shares ONE materialized
-    copy per session: in a warm session (or one bench pass) the corpus is
-    tokenized once, not three times. Session-scoped cache discipline as in
-    dedup.py — spark.catalog.clearCache() reclaims.
-
-    `source` rides along (functionally dependent on doc_id) so perplexity
-    skips a documents re-join; consumers that don't need it drop the
-    column, which does not break plan-identity of the cached subtree.
-    """
-    docs = spread(table(spark, sf_dir, "documents"))
-    return (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .groupBy("doc_id", "source", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+# The r5 shared _token_counts helper (one persisted (doc, source, tok, c)
+# frame consumed by bm25/tfidf/perplexity) was REVERTED in r6: under the
+# bench protocol (clearCache() between passes) every timed run paid the
+# cache materialization + an extra agg hop inside its own measured time,
+# regressing all three consumers (bm25 0.16→0.36s). Each query now builds
+# the narrowest private frame its own plan needs (bm25 skips the (doc,tok)
+# hop entirely), and cross-query sharing is left to CacheManager plan-
+# canonicalization where plans genuinely coincide.
 
 # Tiny embedded stopword list for quality scoring / language heuristics.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
@@ -711,23 +690,23 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Robertson/Sparck-Jones (+1 smoothing) form; floating sums are 3 terms
     in fixed expression order, so Spark and DuckDB agree bit-for-bit
     (rounded 4dp defensively)."""
-    # Consumes the shared _token_counts cache (ONE tokenize pass per warm
-    # session across bm25/tfidf/perplexity). dl = SUM(c) over the counted
-    # frame ≡ COUNT(*) over raw tokens; tf_i = conditional SUM of c.
-    tok_counts = _token_counts(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
     tf_cols = [
-        F.sum(F.when(F.col("tok") == t, F.col("c")).otherwise(F.lit(0)))
-        .alias(f"tf{i+1}")
+        F.sum((F.col("tok") == t).cast("long")).alias(f"tf{i+1}")
         for i, t in enumerate(BM25_TERMS)
     ]
     # persist: per_doc feeds BOTH the scoring side and the broadcast stats
-    # row; without it the broadcast consumer re-runs the per-doc agg
-    # (ReusedExchange never covers broadcast consumers — the r3 finding;
-    # cheap now that the tokenize prefix is cached, but one row per doc is
-    # the cheapest possible re-read). Session-scoped cache discipline as
-    # in dedup.py: identical plans share the entry, clearCache() reclaims.
-    per_doc = tok_counts.groupBy("doc_id").agg(
-        F.sum("c").alias("dl"), *tf_cols
+    # row; without it the broadcast consumer re-runs the whole
+    # tokenize→explode→agg pipeline (ReusedExchange never covers broadcast
+    # consumers — the r3 finding). One row per doc (dl + 3 tfs), so the
+    # materialization scales with |docs|, not |tokens|. Session-scoped
+    # cache discipline as in dedup.py: identical plans share the entry,
+    # spark.catalog.clearCache() reclaims.
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"), *tf_cols
     ).persist()
     stat_cols = [F.count(F.lit(1)).alias("n_docs"),
                  F.avg(F.col("dl").cast("double")).alias("avgdl")]
@@ -800,12 +779,26 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-order-proof (the double-sum-order hazard the repo's money
     aggregates solve the same way); the per-source average is over doc
     means. Reported per source (the corpus-health dashboard cut)."""
-    # Shared persisted (doc, source, tok, c) counts frame (_token_counts):
-    # one tokenize pass per warm session across bm25/tfidf/perplexity. It
-    # feeds BOTH the vocab aggregation and the scoring join — broadcast
-    # consumers never reuse exchanges (the r3 ReusedExchange finding), so
-    # the persist is load-bearing within this query too.
-    tok_counts = _token_counts(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    # Tokenize ONCE and immediately collapse to (doc, tok) counts: the raw
+    # token stream never shuffles (map-side partial agg), and the counted
+    # frame is ~|distinct pairs|, not |tokens|. It feeds BOTH the vocab
+    # aggregation and the scoring join — broadcast consumers never reuse
+    # exchanges (the r3 ReusedExchange finding), so it is persisted or the
+    # tokenize/explode prefix would run twice. `source` rides along (it is
+    # functionally dependent on doc_id), saving the documents re-join.
+    # Session-scoped cache discipline as in dedup.py.
+    tok_counts = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     # total as an unpartitioned window over the (tiny) vocab instead of a
     # separate agg + crossJoin(broadcast): one consumer of the cache on
     # the vocab side and one fewer broadcast job per execution.
@@ -891,10 +884,15 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets Spark's WindowGroupLimit pushdown: a partial top-3 runs before
     the doc_id exchange."""
     docs = table(spark, sf_dir, "documents")
-    # Shared persisted (doc, source, tok, c) frame — one tokenize pass per
-    # warm session across bm25/tfidf/perplexity; `source` is simply unused
-    # here (dropping it downstream keeps the cached subtree identical).
-    tc = _token_counts(spark, sf_dir)
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     n_docs = docs.count()  # scan-only count on the pruned doc_id column
     df_t = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
     score = F.round(

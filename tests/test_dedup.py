@@ -79,6 +79,22 @@ def test_simhash_similar_docs_have_close_fingerprints(spark, sf_dir):
         assert again[r["doc_id"]] == r["simhash64"]
 
 
+def test_simhash_overbound_doc_raises(spark):
+    """The 21-bit lane packing caps a doc at 2^21−1 tokens; the fingerprint
+    expression must RAISE on an over-bound doc rather than silently corrupt
+    neighboring lanes (r5 ADVICE: the docstring claimed a guard that did
+    not exist). Tokens are diverse so no single bit position is set on
+    every token — the per-lane SUMs stay below Long.MAX and the failure is
+    the explicit raise_error, not an ANSI overflow (which is the fail-safe
+    for the pathological all-identical-token case)."""
+    from omnidata_etl_spark.queries.dedup import _simhash_frame
+
+    text = " ".join(f"t{i % 997}" for i in range(1 << 21))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    with pytest.raises(Exception, match="simhash: document"):
+        _simhash_frame(df).collect()
+
+
 @pytest.mark.parametrize("edge_limit", [2_000_000, 0])
 def test_connected_components_chain(spark, edge_limit):
     # Chain 1-2-3-4 needs multiple propagation rounds; 5-6 is a separate
