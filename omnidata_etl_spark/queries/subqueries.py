@@ -106,19 +106,27 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders with at least one line shipped after the order
     date, counted per priority (correlated EXISTS).
 
-    Decorrelated to a left-semi join on the equi-key with the correlated
-    comparison as a join conjunct — the exact rewrite Catalyst applies to SQL
-    EXISTS.  The semi-join emits each order at most once (no post-join
-    distinct), and at scale shuffles both facts once on the orderkey.
+    Decorrelated one step past Catalyst's semi-join rewrite: EXISTS(line
+    with l_shipdate > o_orderdate) ⟺ MAX(l_shipdate) > o_orderdate, so
+    lineitem pre-aggregates to one (l_orderkey, max_ship) row per order
+    BELOW the join (map-side partial MAX — the shuffle carries per-order
+    rows, ~4× fewer than per-line, and the join emits each order at most
+    once because the build key is now unique). Same shuffle count as the
+    semi-join form, strictly less shuffle mass — the reduction that
+    matters when lineitem is the 100 TB fact.
     """
     o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    last_ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
     return (
         o.join(
-            li,
-            (o.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > o.o_orderdate),
-            "left_semi",
+            last_ship,
+            (o.o_orderkey == last_ship.l_orderkey)
+            & (last_ship.max_ship > o.o_orderdate),
+            "inner",
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))

@@ -100,7 +100,13 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
-    li_red = li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+    # No broadcast hint on s2: it is supplier-derived (~2/25 of supplier),
+    # which grows linearly with SF — forcing it re-creates the oversized-
+    # broadcast hazard the removed merge hints guarded against. AQE
+    # promotes it to broadcast at runtime whenever it actually fits
+    # (it does at every local SF), and degrades to shuffle when it
+    # doesn't (r5 ADVICE).
+    li_red = li.join(s2, li.l_suppkey == s2.s_suppkey)
     o_red = (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey")
@@ -742,20 +748,43 @@ def tpch_q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a ship date more than 60 days after the order date (same
     correlated-comparison structure, columns that exist).
 
-    Plan: left-semi join on the order key carrying the non-equi lateness
-    conjunct (one fact shuffle pair under AQE; the quarter predicate is
-    pushed into the orders scan), then a tiny priority groupBy."""
+    Plan (r6 rewrite — was a two-fact-shuffle semi join at 9.7× of the
+    oracle): EXISTS(line with l_shipdate > o_orderdate + 60) is equivalent
+    to MAX(l_shipdate) > o_orderdate + 60, so lineitem pre-aggregates to
+    one (l_orderkey, max_ship) row per order BELOW the join — map-side
+    partial MAX means the shuffle carries per-order rows, not per-line
+    (the q10 pre-agg-below-the-join move). Two derived scan bounds
+    Catalyst cannot infer across the non-equi conjunct are pushed
+    explicitly: every qualifying line ships after 1996-07-01 + 60 days
+    (the quarter's earliest o_orderdate), so the lineitem scan prunes on
+    l_shipdate > 1996-08-30 — row-group pruning on the big fact — which
+    is sound below the MAX because every threshold the join compares
+    against is ≥ that bound. The join itself is then quarter-orders
+    (~3.6% of orders) vs late-shippers (~a third of orders): AQE picks
+    broadcast vs shuffle from runtime sizes — no forced hint, both sides
+    grow linearly with SF."""
+    min_ship = F.lit("1996-07-01").cast("timestamp") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
     o = table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
-    li = table(spark, sf_dir, "lineitem")
+    last_ship = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > min_ship)
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
     return (
         o.join(
-            li,
-            (o.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
-            "left_semi",
+            last_ship,
+            (o.o_orderkey == last_ship.l_orderkey)
+            & (
+                last_ship.max_ship
+                > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "inner",
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").cast("bigint").alias("order_count"))
