@@ -1,11 +1,12 @@
 """Zero-dependency media codecs for the multimodal column model.
 
 The container has no image/audio libraries (no PIL/opencv/soundfile), but
-the UNCOMPRESSED interchange formats need none: PPM (P6) and 24-bit BMP are
-header + raw pixel bytes, and WAV/PCM16 is readable with the stdlib `wave`
-module. These are real, byte-exact codecs — decode(encode(x)) == x — so the
-engine's decode / resize / waveform-stats operators run for real on any
-asset stored in these formats. Compressed codecs (JPEG/PNG/MP3/...) raise
+real codecs don't all need one: PPM (P6) and 24-bit BMP are header + raw
+pixel bytes, WAV/PCM16 is readable with the stdlib `wave` module, and PNG
+is zlib (stdlib) + a numpy scanline unfilter — all byte-exact,
+decode(encode(x)) == x — so the engine's decode / resize / waveform-stats
+operators run for real on assets stored in any of these formats. The
+codecs that genuinely need an external library (JPEG/GIF/WebP/MP3) raise
 NotImplementedError from the same dispatch point, keyed on magic bytes, so
 swapping in pillow later touches only `decode_image`.
 
@@ -133,10 +134,145 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+# --- image: PNG (stdlib zlib + numpy unfilter) -------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (3 = palette: 1 index byte/px, expanded later)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG (color type 2, 8-bit, filter 0, one IDAT).
+
+    Stdlib-only writer: zlib stream over filter-type-0 scanlines. Not a
+    size-optimized encoder (no filter search) — its job is byte-exact
+    round-trip fixtures for the decode path."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got {a.shape}")
+    h, w = a.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * 3)], axis=1
+    ).tobytes()  # one filter-type byte (0) prefixes each scanline
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (spec §6). Rows carry an Up/Paeth
+    dependency on the previous RECONSTRUCTED row and Sub/Average/Paeth a
+    within-row dependency on the reconstructed left neighbor, so recon is
+    row-sequential; each row is numpy work except the Sub/Average/Paeth
+    left-scan, which walks the stride once in Python — fine for the asset
+    sizes a decode UDF sees per batch (compute is per-byte either way)."""
+    rows = raw.reshape(h, 1 + stride)
+    ftypes, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = data[y].astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    rec[x] = (rec[x] + left) & 0xFF
+                elif f == 3:
+                    rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+                else:
+                    up = prev[x]
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 RGB. 8-bit depth, color types 0/2/3/4/6,
+    non-interlaced (alpha is dropped, gray/palette expand to RGB). The
+    rare-in-storage variants (16-bit, Adam7) still raise — explicitly."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp or filt or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG header (comp={comp}, filt={filt}, "
+                         f"ctype={ctype})")
+    ch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError(f"PNG scanline data truncated: {len(raw)}")
+    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if ctype == 2:
+        return np.ascontiguousarray(px)
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return np.ascontiguousarray(plte[px[:, :, 0]])
+    return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))  # 0/4
+
+
 # --- image dispatch ----------------------------------------------------------
 
 _COMPRESSED_MAGICS = {
-    b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
     b"GIF8": "gif",
     b"RIFF": "webp/riff",
@@ -152,6 +288,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return _decode_png(payload)
     for magic, name in _COMPRESSED_MAGICS.items():
         if payload[: len(magic)] == magic:
             raise NotImplementedError(

@@ -4,13 +4,13 @@ The engine's multimodal model (north-star): an asset is a row with a
 ``binary`` payload column plus typed metadata columns; decode / feature
 extraction / resize / frame-sampling run as Arrow-batched Pandas functions
 over ``mapInPandas`` so the payload bytes never round-trip through Python
-row-at-a-time serde. Decode is REAL for the uncompressed formats a bare
-container can express — PPM/BMP images (numpy), WAV/PCM16 audio (stdlib
-``wave``) — see omnidata_etl_spark/codecs.py; compressed codecs
-(PNG/JPEG/MP3) raise NotImplementedError from the same magic-byte dispatch
-until an image library exists here. The Spark-side plumbing (schema,
-batching, partitioning) is identical for both (tests/test_multimodal.py,
-tests/test_codecs.py).
+row-at-a-time serde. Decode is REAL for the formats a bare container can
+express — PPM/BMP images (numpy), PNG (stdlib zlib + numpy unfilter),
+WAV/PCM16 audio (stdlib ``wave``) — see omnidata_etl_spark/codecs.py;
+codecs that genuinely need an external library (JPEG/GIF/MP3) raise
+NotImplementedError from the same magic-byte dispatch until one exists
+here. The Spark-side plumbing (schema, batching, partitioning) is
+identical for both (tests/test_multimodal.py, tests/test_codecs.py).
 """
 
 from __future__ import annotations
@@ -25,9 +25,10 @@ from pyspark.sql import types as T
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.session import ensure_tuned
 
-# Real codecs for the container-expressible formats: PPM/BMP images decode
-# to numpy with zero dependencies, WAV/PCM16 via stdlib `wave`; compressed
-# formats (PNG/JPEG/GIF) still raise NotImplementedError from the same
+# Real codecs for the container-expressible formats: PPM/BMP/PNG images
+# decode to numpy with zero dependencies (PNG via stdlib zlib + a numpy
+# unfilter), WAV/PCM16 via stdlib `wave`; formats needing an external
+# library (JPEG/GIF) still raise NotImplementedError from the same
 # magic-byte dispatch. Re-exported here so the multimodal surface is one
 # import for callers.
 from omnidata_etl_spark.codecs import (
@@ -204,27 +205,38 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> bytes:
-    """Deterministic PPM payload for a document: its UTF-8 bytes tiled into
-    a (h, w, 3) pixel grid. Stands in for an ingested image asset; every
-    byte of the payload round-trips through the real PPM codec."""
+    """Deterministic image payload for a document: its UTF-8 bytes tiled
+    into a (h, w, 3) pixel grid, encoded as PPM, BMP, or PNG by doc_id —
+    a format MIX, so the decode queries exercise every real codec
+    (including the zlib+numpy PNG path) through the same magic-byte
+    dispatch an ingested corpus would hit."""
     import numpy as np
+
+    from omnidata_etl_spark.codecs import encode_bmp, encode_png
 
     raw = (text or "").encode("utf-8") or bytes([doc_id % 256])
     need = w * h * 3
     reps = -(-need // len(raw))
     pix = np.frombuffer((raw * reps)[:need], dtype=np.uint8).reshape(h, w, 3)
-    return encode_ppm(pix)
+    enc = (encode_ppm, encode_bmp, encode_png)[doc_id % 3]
+    return enc(pix)
 
 
 @query("multimodal_image_decode_stats", tags=("multimodal", "codec", "pandas-udf"))
 def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode over the corpus: synthesize a PPM asset per
-    document (ingest stand-in), decode it with the zero-dependency codec,
-    and aggregate per-source brightness stats. Self-evidencing
-    (rows-only query): ``roundtrip_ok_all`` is true only if
-    encode(decode(payload)) == payload byte-for-byte on EVERY asset in the
-    group — the decode is proven inside the query's own output."""
+    """REAL image decode over the corpus: synthesize a PPM/BMP/PNG asset
+    per document (ingest stand-in, format mixed by doc_id so all three
+    real codecs run — PNG through the zlib+numpy scanline path), decode it
+    with the zero-dependency codec, and aggregate per-source brightness
+    stats. Self-evidencing (rows-only query): ``roundtrip_ok_all`` is true
+    only if re-encoding the decoded pixels in the SAME format reproduces
+    the payload byte-for-byte on EVERY asset in the group — the decode is
+    proven inside the query's own output."""
     import numpy as np
+
+    from omnidata_etl_spark.codecs import encode_bmp, encode_png
+
+    encoders = (encode_ppm, encode_bmp, encode_png)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -241,7 +253,9 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 out["brightness"].append(float(np.mean(img)))
                 out["height"].append(img.shape[0])
                 out["width"].append(img.shape[1])
-                out["roundtrip_ok"].append(encode_ppm(img) == payload)
+                out["roundtrip_ok"].append(
+                    encoders[int(did) % 3](img) == payload
+                )
             yield pd.DataFrame(out)
 
     schema = (
@@ -467,8 +481,9 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset ingestion through Spark's native ``binaryFile`` source —
     the path a 100 TB multimodal corpus actually arrives by (image/audio
     blobs as files on object storage, one row per file with path, length,
-    modificationTime, content). Stages a small deterministic PPM asset set
-    into a scratch dir once (keyed by sf_dir so scale factors don't
+    modificationTime, content). Stages a small deterministic asset set in
+    a PPM/BMP/PNG format mix into a scratch dir once (keyed by sf_dir so
+    scale factors don't
     collide), reads it back via ``spark.read.format("binaryFile")``, and
     decodes every payload with the zero-dependency codec.
 
@@ -485,30 +500,40 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
+    # v2: format mix (ppm/bmp/png). The version suffix invalidates stale
+    # ppm-only staging dirs left by earlier builds (the .done marker would
+    # otherwise keep serving them).
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     root = os.path.join(
-        tempfile.gettempdir(), f"omnidata_binassets_{os.getuid()}", key
+        tempfile.gettempdir(), f"omnidata_binassets_{os.getuid()}", key + "v2"
     )
     done = os.path.join(root, ".done")
+    from omnidata_etl_spark.codecs import encode_bmp, encode_png
+
+    encoders = (
+        ("ppm", encode_ppm), ("bmp", encode_bmp), ("png", encode_png)
+    )
     if not os.path.exists(done):
         os.makedirs(root, exist_ok=True)
         for i in range(24):
             w, h = 8 + (i % 3) * 4, 6 + (i % 2) * 6
             rng = np.random.default_rng(i)
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            with open(os.path.join(root, f"asset_{i:02d}_{w}x{h}.ppm"), "wb") as f:
-                f.write(encode_ppm(img))
+            ext, enc = encoders[i % 3]
+            path = os.path.join(root, f"asset_{i:02d}_{w}x{h}.{ext}")
+            with open(path, "wb") as f:
+                f.write(enc(img))
         open(done, "w").close()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"path": [], "n_bytes": [], "width": [], "height": [],
                     "decode_ok": []}
+            enc_by_ext = dict(encoders)
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
-                want_w, want_h = map(
-                    int, name.rsplit("_", 1)[1].split(".")[0].split("x")
-                )
+                dims, ext = name.rsplit("_", 1)[1].split(".")
+                want_w, want_h = map(int, dims.split("x"))
                 img = decode_image(bytes(content))
                 rows["path"].append(name)
                 rows["n_bytes"].append(len(content))
@@ -517,14 +542,14 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["decode_ok"].append(
                     img.shape[1] == want_w
                     and img.shape[0] == want_h
-                    and encode_ppm(img) == bytes(content)
+                    and enc_by_ext[ext](img) == bytes(content)
                 )
             yield pd.DataFrame(rows)
 
     ensure_tuned(spark)
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.ppm")
+        .option("pathGlobFilter", "asset_*")
         .load(root)
         .select("path", "content")
     )

@@ -45,11 +45,134 @@ def test_bmp_roundtrip_byte_exact():
 
 def test_compressed_formats_raise_not_implemented():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a....")
     with pytest.raises(ValueError):
         decode_image(b"??garbage")
+    # valid PNG magic but no chunks: the real decoder rejects it as corrupt
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def _make_png(ihdr_fields, scanlines, extra_chunks=()):
+    """Hand-assemble a PNG from raw (filter_byte + data) scanlines so tests
+    control the exact filter types and color types the decoder sees."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields)
+    )
+    for tag, body in extra_chunks:
+        out += chunk(tag, body)
+    out += chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_byte_exact():
+    from omnidata_etl_spark.codecs import encode_png
+
+    for h, w in ((1, 1), (5, 7), (12, 16)):
+        a = _img(h, w, seed=h * 31 + w)
+        assert np.array_equal(decode_image(encode_png(a)), a)
+        # our encoder's output re-encodes byte-exactly (fixed filter/zlib)
+        assert encode_png(decode_image(encode_png(a))) == encode_png(a)
+
+
+def test_png_all_filter_types_reconstruct():
+    # 5 rows of RGB, one per filter type (None/Sub/Up/Average/Paeth),
+    # reconstructed against a reference implementation of the spec.
+    rng = np.random.default_rng(3)
+    truth = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    flat = truth.reshape(5, 18).astype(np.int32)
+    bpp = 3
+    lines = []
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(18, dtype=np.int32)
+        enc = np.zeros(18, dtype=np.int32)
+        for x in range(18):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+    png = _make_png((6, 5, 8, 2, 0, 0, 0), lines)
+    assert np.array_equal(decode_image(png), truth)
+
+
+def test_png_color_type_variants():
+    # grayscale (0): expands to 3 identical channels
+    gray = bytes([0]) + bytes([10, 200, 77])
+    png = _make_png((3, 1, 8, 0, 0, 0, 0), [gray])
+    assert np.array_equal(
+        decode_image(png), np.array([[[10] * 3, [200] * 3, [77] * 3]])
+    )
+    # RGBA (6): alpha dropped
+    rgba = bytes([0]) + bytes([1, 2, 3, 255, 4, 5, 6, 0])
+    png = _make_png((2, 1, 8, 6, 0, 0, 0), [rgba])
+    assert np.array_equal(decode_image(png), np.array([[[1, 2, 3], [4, 5, 6]]]))
+    # palette (3): indices resolve through PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    idx = bytes([0]) + bytes([1, 0])
+    png = _make_png((2, 1, 8, 3, 0, 0, 0), [idx], [(b"PLTE", plte)])
+    assert np.array_equal(
+        decode_image(png), np.array([[[0, 255, 0], [255, 0, 0]]])
+    )
+
+
+def test_png_unsupported_variants_raise():
+    from omnidata_etl_spark.codecs import encode_png
+
+    a = _img(2, 2)
+    good = encode_png(a)
+    # 16-bit depth and Adam7 interlace flip one IHDR byte each
+    import struct
+
+    def patch_ihdr(png, offset, value):
+        body = bytearray(png)
+        ihdr_at = 8 + 8  # magic + len/tag
+        body[ihdr_at + offset] = value
+        import zlib
+
+        crc = zlib.crc32(bytes(body[ihdr_at - 4 : ihdr_at + 13])) & 0xFFFFFFFF
+        body[ihdr_at + 13 : ihdr_at + 17] = struct.pack(">I", crc)
+        return bytes(body)
+
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_image(patch_ihdr(good, 8, 16))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_image(patch_ihdr(good, 12, 1))
+
+
+def test_png_resize_path():
+    # resize dispatches through decode_image, so a PNG input resizes too
+    from omnidata_etl_spark.codecs import encode_png
+
+    a = _img(6, 8)
+    same = decode_image(resize_image(encode_png(a), 8, 6, method="nearest"))
+    assert np.array_equal(same, a)
 
 
 def test_resize_nearest_identity_and_constant():

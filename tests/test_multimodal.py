@@ -15,9 +15,13 @@ from omnidata_etl_spark.queries.multimodal import (
 )
 
 
-def test_decode_is_a_marked_stub():
+def test_library_needing_decodes_are_marked_stubs():
+    # PNG decodes for real since r6 (zlib+numpy); JPEG/GIF still need a
+    # codec library and must keep raising from the magic-byte dispatch.
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0...")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a...")
 
 
 def test_fake_features_deterministic():
