@@ -168,7 +168,11 @@ def main() -> None:
     names = sorted(n for n in specs if n not in SKIP)
 
     env_mode = os.environ.get("BENCH_PREPARE", "")
+    # Per-mode error maps (r5 ADVICE: one shared dict let a prepared-mode
+    # flake silently veto a query's rebuild timing and vice versa — the
+    # skip-if-errored check in time_suite is mode-local state).
     errors: dict[str, str] = {}
+    rebuild_errors: dict[str, str] = {}
     if env_mode == "1":
         per_query = time_suite(names, spark, "service", errors)
         rebuild: dict[str, float] = {}
@@ -180,7 +184,7 @@ def main() -> None:
         # with the full-rebuild numbers measured alongside for transparency
         # (spark_rebuild_sec in BENCH_DETAIL.json).
         per_query = time_suite(names, spark, "prepared", errors)
-        rebuild = time_suite(names, spark, "rebuild", errors)
+        rebuild = time_suite(names, spark, "rebuild", rebuild_errors)
 
     total = round(sum(per_query.values()), 4)
     slowest = dict(
@@ -200,6 +204,8 @@ def main() -> None:
         detail.setdefault(name, {})["spark_rebuild_sec"] = sec
     for name, err in errors.items():
         detail.setdefault(name, {})["error"] = err
+    for name, err in rebuild_errors.items():
+        detail.setdefault(name, {})["rebuild_error"] = err
     if os.environ.get("BENCH_DUCKDB", "1") != "0":
         try:
             import duckdb

@@ -72,8 +72,9 @@ def add_surrogate_key(df: DataFrame, order_by: list[str] | None = None) -> DataF
     position in the total order). Ties that straddle a boundary get an
     arbitrary-but-dense assignment — the same nondeterminism any ORDER BY
     with ties has. Defaults to ordering by all columns, stable for
-    deduplicated loads. `id` stays int for reference `SERIAL` parity; a
-    >2B-row load would use BIGSERIAL semantics (cast to long) upstream.
+    deduplicated loads. `id` stays int for reference `SERIAL` parity; past
+    INT_MAX the projection raises an explicit error (never wraps) — a
+    >2.1B-row load opts into BIGSERIAL semantics (long ids) upstream.
     """
     if has_id_column(df):
         return df
@@ -95,12 +96,10 @@ def add_surrogate_key(df: DataFrame, order_by: list[str] | None = None) -> DataF
         .withColumn("_sk_pid", F.spark_partition_id())
         .withColumn(
             "_sk_rn",
-            (
-                F.monotonically_increasing_id().bitwiseAND(
-                    F.lit((1 << 33) - 1)
-                )
-                + 1
-            ).cast("int"),
+            F.monotonically_increasing_id().bitwiseAND(
+                F.lit((1 << 33) - 1)
+            )
+            + 1,
         )
         .persist()  # two consumers below; ReusedExchange cannot dedupe a
         # broadcast-side subtree, so without the cache the offsets branch
@@ -121,14 +120,28 @@ def add_surrogate_key(df: DataFrame, order_by: list[str] | None = None) -> DataF
                         Window.unboundedPreceding, -1
                     )
                 ),
-                F.lit(0),
-            ).cast("int"),
+                F.lit(0).cast("long"),
+            ),
         )
         .select("_sk_pid", "_sk_off")
     )
     out = (
         numbered.join(F.broadcast(offsets), "_sk_pid")
-        .withColumn("id", F.col("_sk_rn") + F.col("_sk_off"))
+        # id arithmetic stays in LONG and the int cast is guarded with an
+        # explicit, actionable error: a >2^31-row load must not wrap (or
+        # die in an opaque ANSI overflow) — SERIAL parity caps at INT_MAX
+        # by design, and bigger loads opt into BIGSERIAL upstream
+        # (r5 ADVICE on the silent-wrap hazard).
+        .withColumn(
+            "id",
+            F.expr(
+                "CASE WHEN _sk_rn + _sk_off > 2147483647 THEN "
+                "raise_error('surrogate_key: row number exceeds INT_MAX "
+                "(SERIAL parity); use BIGSERIAL semantics upstream for "
+                ">2.1B-row loads') "
+                "ELSE cast(_sk_rn + _sk_off AS INT) END"
+            ),
+        )
         .drop("_sk_pid", "_sk_rn", "_sk_off")
     )
     out._sk_cache = numbered  # handle for load()'s post-write unpersist

@@ -12,6 +12,7 @@ day 1 so casts are strict (reference behavior: bad value aborts the load,
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
@@ -170,14 +171,23 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
             os.environ.get("OMNIDATA_WAREHOUSE", "/tmp/omnidata_warehouse"),
         )
     )
-    # tmpfs shuffle/scratch dir when available (same local-only rationale
-    # as the compression keys above; falls back to the java.io.tmpdir
-    # default on hosts without a writable /dev/shm)
+    # tmpfs shuffle/scratch dir when it can actually hold a spill (same
+    # local-only rationale as the compression keys above). tmpfs capacity
+    # is RAM, not disk: a spill-heavy job on a small /dev/shm dies with
+    # ENOSPC mid-shuffle (r5 ADVICE), so the pin is gated on free space —
+    # ≥8 GiB free, or OMNIDATA_SHM_SCRATCH=1 to force / =0 to forbid.
+    # Anything else falls back to the java.io.tmpdir default (disk-backed,
+    # the right call on spill-heavy or shared hosts).
     shm = "/dev/shm/omnidata_spark"
+    want = os.environ.get("OMNIDATA_SHM_SCRATCH", "")
     try:
-        os.makedirs(shm, exist_ok=True)
-        if os.access(shm, os.W_OK):
-            builder = builder.config("spark.local.dir", shm)
+        if want != "0":
+            os.makedirs(shm, exist_ok=True)
+            free = shutil.disk_usage("/dev/shm").free
+            if os.access(shm, os.W_OK) and (
+                want == "1" or free >= 8 << 30
+            ):
+                builder = builder.config("spark.local.dir", shm)
     except OSError:
         pass
     for k, v in _RUNTIME_CONF.items():
