@@ -403,7 +403,7 @@ def grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on user_id for the window, per-row double division, no
     Python in the path (round 1 declared the applyInPandas variant here and
     benched 2.53s/52×; the window form is the scale path — see
-    grouped_minmax_scale_pandas for the batch-UDAF extension surface)."""
+    grouped_minmax_scale_arrow for the batch-UDAF extension surface)."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
@@ -416,8 +416,8 @@ def grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", scaled.alias("scaled"))
 
 
-@query("grouped_minmax_scale_pandas", tags=("udf", "pandas", "arrow", "ml"))
-def grouped_minmax_scale_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("grouped_minmax_scale_arrow", tags=("udf", "pandas", "arrow", "ml"))
+def grouped_minmax_scale_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user min-max scaling via the grouped batch-apply UDF surface —
     `applyInArrow`, the Arrow-native sibling of `applyInPandas` (same
     one-batch-per-group contract and memory bound; the group arrives as a
@@ -455,7 +455,7 @@ def _scale_arrow(tbl):
 
 
 def grouped_minmax_scale_pandas_form(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The applyInPandas twin of grouped_minmax_scale_pandas — kept as a
+    """The applyInPandas twin of grouped_minmax_scale_arrow — kept as a
     library function (not registered) so tests pin it value-identical to
     the Arrow form; see that query's docstring for the measured per-group
     conversion cost that keeps it off the bench path."""

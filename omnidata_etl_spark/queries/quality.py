@@ -114,8 +114,8 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphans.crossJoin(li_checks).crossJoin(o_checks)
 
 
-@query("sample_stratified", tags=("quality", "sample"))
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("sample_bernoulli_strata", tags=("quality", "sample"))
+def sample_bernoulli_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sample of `documents` — equalize language skew by
     sampling each lang at its own fraction (the training-data mixing
     primitive). `sampleBy` is a per-row Bernoulli coin flip keyed by a fixed

@@ -194,4 +194,18 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's 'No Partition Defined' warning is a per-execution alarm
+    # for a hazard this engine pins structurally instead: every partition-
+    # less window sits above an aggregate or a bounded dim (allow-list +
+    # plan-shape asserts in tests/test_plans.py::
+    # test_unpartitioned_windows_sit_above_small_frames). Demote that one
+    # logger so real warnings stay visible in bench/driver logs.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend differences must never break the session
     return ensure_tuned(spark)

@@ -50,7 +50,7 @@ def test_grouped_minmax_arrow_equals_pandas_and_window(spark, sf_dir):
     window-expression scale path must agree row-for-row (min/max over 2dp
     values are exact; the division is one fixed double op in all three)."""
     from omnidata_etl_spark.queries.multimodal import (
-        grouped_minmax_scale_pandas,
+        grouped_minmax_scale_arrow,
         grouped_minmax_scale_pandas_form,
         grouped_minmax_scale,
     )
@@ -58,7 +58,7 @@ def test_grouped_minmax_arrow_equals_pandas_and_window(spark, sf_dir):
     def as_map(df):
         return {r["event_id"]: r["scaled"] for r in df.collect()}
 
-    arrow = as_map(grouped_minmax_scale_pandas(spark, sf_dir))
+    arrow = as_map(grouped_minmax_scale_arrow(spark, sf_dir))
     pandas = as_map(grouped_minmax_scale_pandas_form(spark, sf_dir))
     window = as_map(grouped_minmax_scale(spark, sf_dir))
     assert arrow == pandas == window

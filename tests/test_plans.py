@@ -435,3 +435,65 @@ def test_q20_single_fact_pass(spark, sf_dir):
     tree = plan.split("\n\n", 1)[0]
     shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", tree)
     assert len(shuffles) == 1, tree
+
+
+def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
+    """The WindowExec 'No Partition Defined' warning is acceptable ONLY
+    when the single-partition exchange carries a cardinality-reduced frame
+    (an aggregate output or a bounded dim), never corpus/fact rows. Pin it
+    two ways (r4 verdict #6 / r5 #8):
+
+    1. Source allow-list: every partition-less Window in the package is a
+       known site — adding a new one forces this test to be updated (and
+       its frame size argued).
+    2. Plan shape: for each registry query among those sites, the Window's
+       subtree contains the cardinality reducer (HashAggregate) or scans
+       only a bounded dim (region: 5 rows at every SF).
+    """
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "omnidata_etl_spark"
+    sites = set()
+    for p in sorted(pkg.rglob("*.py")):
+        text = p.read_text()
+        if re.search(r"Window\.orderBy\(|Window\.partitionBy\(\)", text):
+            sites.add(str(p.relative_to(pkg)))
+    assert sites == {
+        "ingest/load.py",        # prefix-sum over per-partition COUNTs
+        "queries/projections.py",  # surrogate_key over `region` (5 rows)
+        "queries/text.py",       # vocab total over groupBy(tok) output
+        "queries/events.py",     # cumulative sum over per-day aggregates
+    }, f"new unpartitioned-window site(s): {sites}"
+
+    def window_subtrees_reduced(name: str, dim_ok: bool = False) -> None:
+        plan = _plan(spark, sf_dir, name)
+        tree = plan.split("\n\n", 1)[0].splitlines()
+
+        def indent(line: str) -> int:
+            return len(line) - len(line.lstrip(" :+-*"))
+
+        for i, line in enumerate(tree):
+            if not re.search(r"\bWindow\b", line):
+                continue
+            my = indent(line)
+            subtree = []
+            for j in range(i + 1, len(tree)):
+                if indent(tree[j]) <= my:
+                    break
+                subtree.append(tree[j])
+            sub = "\n".join(subtree)
+            ok = "HashAggregate" in sub or "SortAggregate" in sub
+            if dim_ok and not ok:
+                # dim-scan case: subtree reads no fact/corpus table
+                detail = plan.split("\n\n", 1)[1]
+                ok = not re.search(
+                    r"Location:[^\n]*(lineitem|orders|documents|events|"
+                    r"customer|part|supplier|embeddings)",
+                    detail,
+                )
+            assert ok, f"{name}: unpartitioned Window over unreduced frame:\n{sub}"
+
+    window_subtrees_reduced("surrogate_key", dim_ok=True)
+    window_subtrees_reduced("text_perplexity_proxy")
+    window_subtrees_reduced("events_daily_user_growth")

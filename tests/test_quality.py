@@ -9,7 +9,7 @@ from omnidata_etl_spark.registry import all_specs
 def _sample_counts(spark, sf_dir):
     return sorted(
         (r["lang"], r["n_sampled"])
-        for r in all_specs()["sample_stratified"].fn(spark, sf_dir).collect()
+        for r in all_specs()["sample_bernoulli_strata"].fn(spark, sf_dir).collect()
     )
 
 
