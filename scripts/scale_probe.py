@@ -25,36 +25,96 @@ from omnidata_etl_spark.session import get_session
 
 BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/omnidata_scale"
+# Stratified sample across every registry family (r5 verdict #7): the
+# heavy hitters from r4's probe plus representatives of each operator
+# class, so super-linear growth anywhere in the registry shows up here.
 PROBE_QUERIES = (
-    "agg_pricing_summary",
+    # scans / projections / row ops
+    "scan_parquet",
+    "filter_numeric",
+    "distinct_rows",
+    "surrogate_key",
+    "order_multi_nulls",
+    # joins — every strategy class
+    "join_inner_equi",
+    "join_anti",
     "join_multiway_star",
     "join_theta_range",
-    "window_rank_topn",
-    "stream_sessionize",
-    "tpch_q8_market_share",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier",
-    "dedup_near_minhash",
-    "dedup_cluster_canonical",
-    "text_decontaminate",
-    "tpch_q5_local_supplier",
-    "text_bm25_topk",
-    "text_perplexity_proxy",
-    "etl_sample_stratified",
-    "multimodal_image_decode_stats",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q20_promo_share_suppliers",
-    "text_tfidf_topterms",
-    "text_boilerplate_ratio",
+    "join_asof",
+    "join_skew_salted",
+    "join_null_safe_eq",
     "join_fuzzy_blocked",
-    "events_resample_gapfill",
-    "events_daily_user_growth",
-    "text_bpe_train_apply",
-    "etl_sample_quality_weighted",
+    # aggregation
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_approx_distinct",
+    "agg_salted_two_phase",
+    "agg_bitmap_distinct",
     "agg_exact_moments",
     "agg_linear_fit",
+    # windows / setops / scalar fns
+    "window_rank_topn",
+    "window_running_sum",
+    "window_ntile",
+    "set_except",
+    "fn_math",
+    "fn_json_extract",
+    "fn_array_higher_order",
+    # subqueries
+    "subquery_exists_correlated",
+    "subquery_lateral_topn",
+    # TPC-H shapes (the shuffle-heavy tree forms)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_late_ship",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q20_promo_share_suppliers",
+    "tpch_q21_waiting_supplier",
+    # events / sessionization
+    "stream_sessionize",
+    "stream_dedup_latest",
+    "events_funnel_counts",
+    "events_resample_gapfill",
+    "events_daily_user_growth",
+    # text family
+    "text_word_counts",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_decontaminate",
+    "text_bm25_topk",
+    "text_perplexity_proxy",
+    "text_tfidf_topterms",
+    "text_boilerplate_ratio",
+    "text_bpe_train_apply",
+    # dedup family
+    "dedup_exact_docs",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
+    # similarity / embeddings (replicated embeddings table)
+    "similarity_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_quantize_int8",
+    "dedup_embedding_cosine",
+    # ETL / quality / multimodal
+    "etl_sample_stratified",
+    "etl_sample_quality_weighted",
+    "etl_corpus_mix",
+    "etl_training_corpus_build",
+    "etl_cdc_apply",
+    "etl_scd2_history",
+    "pivot_status_counts",
+    "grouped_minmax_scale",
+    "multimodal_feature_extract",
+    "multimodal_image_decode_stats",
 )
 KEY_OFFSET = 10_000_000_000
 
@@ -115,6 +175,30 @@ def build(spark, replicas: int) -> str:
         .drop("rep")
     )
     docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    # embeddings: offset ids and nudge each replica's vectors by a small
+    # replica-dependent delta so ANN bucketing sees distinct points (exact
+    # copies would collapse into degenerate buckets), while norms and the
+    # label structure stay essentially unchanged.
+    emb = (
+        table(spark, BASE, "embeddings")
+        .crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * KEY_OFFSET)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + (F.col("rep") % 7).cast("float")
+                    * F.lit(1e-3)
+                    * ((i % 5).cast("float") - 2.0)
+                ).cast("float"),
+            ),
+        )
+        .drop("rep")
+    )
+    emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
     for t in TABLES:
         dst = f"{out_dir}/{t}.parquet"
