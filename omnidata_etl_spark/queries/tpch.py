@@ -39,22 +39,44 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered 3-way join, revenue per order,
     top-10 (tie-broken by l_orderkey). The date constants are adapted to
     the synthetic data's ranges; o_orderdate is the TIMESTAMP the parquet
-    carries."""
-    c = table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+    carries.
+
+    Plan (r6 rewrite — was customer⋈orders⋈lineitem left-to-right at
+    3.9×): the l_shipdate predicate keeps only the latest shippers, so
+    revenue pre-aggregates per order from that sliver BELOW the join
+    (map-side partial SUM on the int64 unit path; exact because the other
+    group keys are functionally dependent on l_orderkey). Orders
+    semi-reduce by the BUILDING customer keys — a key-only projection, so
+    the join carries 8 bytes per customer, and the semi output drops
+    o_custkey before the fact join. Both reductions shrink linearly with
+    their filters at any SF; no forced broadcasts (customer and the
+    filtered facts all grow with SF — AQE picks the build side from
+    runtime sizes)."""
+    c_keys = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
     )
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
+    o_red = o.join(
+        c_keys, o.o_custkey == c_keys.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(rev_units()).alias("_rev_units")
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(crevsum().alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        rev.join(o_red, rev.l_orderkey == o_red.o_orderkey)
+        .select(
+            "l_orderkey",
+            (F.col("_rev_units") / 10000.0).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
