@@ -54,6 +54,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--json", type=str, default=None,
+                    help="write per-query results to this JSON file "
+                    "(committed correctness evidence per r5 ADVICE #4)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -85,6 +88,7 @@ def main() -> int:
 
     failures: list[str] = []
     hazards: list[str] = []
+    results: dict[str, str] = {}
     t0 = time.time()
     for i, name in enumerate(names):
         try:
@@ -103,10 +107,12 @@ def main() -> int:
             hz = hazard_cols(spdf)
             if hz:
                 hazards.append(f"{name}: {hz}")
+            results[name] = status
             if status != "ok":
                 failures.append(f"{name}: {status}")
                 print(f"[{i+1}/{len(names)}] {name}: FAIL {status}")
         except Exception as e:
+            results[name] = f"EXC {type(e).__name__}: {e}"[:200]
             failures.append(f"{name}: EXC {e}")
             print(f"[{i+1}/{len(names)}] {name}: EXC {type(e).__name__}: {e}")
     print(
@@ -117,6 +123,22 @@ def main() -> int:
         print("DRIVER-HASH HAZARDS (object-dtype Decimal/date/Timestamp):")
         for h in hazards:
             print("  " + h)
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_queries": len(names),
+                    "n_green": len(names) - len(failures),
+                    "hazards": hazards,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
 
     # 4. library surface probes
     try:
