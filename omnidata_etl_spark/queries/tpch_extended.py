@@ -23,7 +23,7 @@ DOUBLE, aliased aggregates, unique-key tiebreaks on every LIMIT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
@@ -881,13 +881,17 @@ def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself scale-corrected; a mean-relative cut keeps the result non-empty
     at every sf the driver runs).
 
-    The per-part frame feeds both the scalar aggregates and the filter, so
-    it is persisted (broadcast consumers get no ReusedExchange — session
-    cache discipline per dedup.py). The threshold comparison is exact:
-    int64 unit sums promoted to DECIMAL(38,0) before the cross-multiply
-    (the product can overflow int64 at the 100 TB design point; DECIMAL
-    keeps it exact and ANSI-safe), mirroring the oracle's exact DECIMAL
-    arithmetic."""
+    The scalar aggregates (corpus total + part count) ride the per-part
+    frame as unpartitioned-window constants (r6; the allowed pattern —
+    the window sits ABOVE the groupBy, so the single-partition exchange
+    carries one row per part, pinned in tests/test_plans.py). This
+    replaces the r5 persist + broadcast-join shape: the window form needs
+    no cache materialization per execution and one fewer join — measured
+    0.24→0.15s same-session at sf0.1, values identical. The threshold
+    comparison is exact: int64 unit sums promoted to DECIMAL(38,0) before
+    the cross-multiply (the product can overflow int64 at the 100 TB
+    design point; DECIMAL keeps it exact and ANSI-safe), mirroring the
+    oracle's exact DECIMAL arithmetic."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
@@ -898,14 +902,17 @@ def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(rev_units()).alias("value_units"))
-        .persist()
     )
-    total = v.agg(
-        F.sum(F.col("value_units").cast("decimal(38,0)")).alias("total_units"),
-        F.count(F.lit(1)).alias("n_parts"),
-    )
+    w = Window.partitionBy()
     return (
-        v.join(F.broadcast(total))
+        v.select(
+            "l_partkey",
+            "value_units",
+            F.sum(F.col("value_units").cast("decimal(38,0)"))
+            .over(w)
+            .alias("total_units"),
+            F.count(F.lit(1)).over(w).alias("n_parts"),
+        )
         .where(
             F.col("value_units").cast("decimal(38,0)") * F.col("n_parts")
             > F.lit(3) * F.col("total_units")

@@ -464,6 +464,7 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
         "queries/projections.py",  # surrogate_key over `region` (5 rows)
         "queries/text.py",       # vocab total over groupBy(tok) output
         "queries/events.py",     # cumulative sum over per-day aggregates
+        "queries/tpch_extended.py",  # q11 scalar total over per-part agg
     }, f"new unpartitioned-window site(s): {sites}"
 
     def window_subtrees_reduced(name: str, dim_ok: bool = False) -> None:
@@ -497,3 +498,4 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
     window_subtrees_reduced("surrogate_key", dim_ok=True)
     window_subtrees_reduced("text_perplexity_proxy")
     window_subtrees_reduced("events_daily_user_growth")
+    window_subtrees_reduced("tpch_q11_important_value")
