@@ -499,3 +499,50 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
     window_subtrees_reduced("text_perplexity_proxy")
     window_subtrees_reduced("events_daily_user_growth")
     window_subtrees_reduced("tpch_q11_important_value")
+
+
+def test_q4_derived_shipdate_bound_reaches_scan(spark, sf_dir):
+    """r6 rewrite pins: (a) the derived bound l_shipdate > 1996-08-30
+    (quarter start + 60 days — underivable by Catalyst across the
+    non-equi join conjunct) is pushed into the lineitem scan, (b) the
+    lineitem side pre-aggregates to per-order MAX below the join (no
+    per-line rows cross the join), (c) the scan reads only the two
+    needed columns."""
+    plan = _plan(spark, sf_dir, "tpch_q4_priority_late_ship")
+    flat = plan.replace(" ", "")
+    assert "GreaterThan(l_shipdate,1996-08-30" in flat
+    detail = plan.split("\n\n", 1)[1]
+    import re
+
+    li_read = re.search(
+        r"Scan parquet[\s\S]{0,800}?Location:[^\n]*lineitem[\s\S]{0,400}?"
+        r"ReadSchema: (\S+)",
+        detail,
+    )
+    assert li_read and set(
+        re.findall(r"(\w+):", li_read.group(1))
+    ) <= {"struct", "l_orderkey", "l_shipdate"}
+    # pre-agg below the join: a HashAggregate with max(l_shipdate) exists
+    assert "max(l_shipdate" in plan
+
+
+def test_q3_preagg_and_semi_reduction(spark, sf_dir):
+    """r6 rewrite pins: revenue pre-aggregates per order below the join
+    (partial_sum over the shipdate sliver), orders semi-reduce via the
+    key-only customer projection (LeftSemi), and no fact ends up as a
+    forced broadcast build side (the c_custkey projection may broadcast —
+    it is key-only)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "LeftSemi" in plan
+    assert re.search(r"partial_sum", plan), "revenue agg not partial below join"
+    detail = plan.split("\n\n", 1)[1]
+    cust = re.search(
+        r"Scan parquet[\s\S]{0,800}?Location:[^\n]*customer[\s\S]{0,400}?"
+        r"ReadSchema: (\S+)",
+        detail,
+    )
+    assert cust and set(re.findall(r"(\w+):", cust.group(1))) <= {
+        "struct", "c_custkey", "c_mktsegment",
+    }, "customer side is not a key-only projection (+ filter column)"
