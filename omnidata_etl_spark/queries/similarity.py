@@ -378,32 +378,101 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def blocked_cosine_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
-    """LSH-blocked near-dup pairs over a (vec_id, embedding) frame:
-    candidates share a random-hyperplane bucket, verified by exact cosine ≥
-    threshold. Norms are computed once per VECTOR, not once per candidate
-    pair — the blocked join multiplies pair count, never vector count."""
+LSH_BANDS = 8  # near-dup banding width (recall = 1 - (1 - p^r)^B)
+
+
+def banded_lsh_buckets(
+    vectors: DataFrame, planes_per_band: int, col: str = "embedding"
+) -> DataFrame:
+    """Explode a (…, embedding) frame to one row per (band, bucket): band b's
+    bucket id packs the sign bits of planes [b·r, b·r+r). All B·r plane dot
+    products evaluate in ONE projected bit-array column (single parsed SQL
+    expression — the Column-object form costs ~500 py4j trips per build,
+    the r3 lsh_bucket finding), and the per-band pack is a slice+fold over
+    those bits, so the plane work is done once per vector, not per band."""
+    r, total = planes_per_band, LSH_BANDS * planes_per_band
+    planes_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(repr(c) for c in hyperplane(p)))
+            for p in range(total)
+        )
+    )
+    bits_sql = (
+        f"transform({planes_sql}, pl -> CASE WHEN "
+        f"aggregate(zip_with(cast({col} AS array<double>), pl, "
+        "(x, y) -> x * y), 0.0d, (acc, x) -> acc + x) >= 0 "
+        "THEN 1L ELSE 0L END)"
+    )
+    bands_sql = (
+        f"transform(sequence(0, {LSH_BANDS - 1}), b -> struct("
+        f"cast(b AS INT) AS band, "
+        f"aggregate(slice(_lsh_bits, b * {r} + 1, {r}), 0L, "
+        "(acc, x) -> acc * 2 + x) AS bucket))"
+    )
+    return (
+        vectors.withColumn("_lsh_bits", F.expr(bits_sql))
+        .select("*", F.explode(F.expr(bands_sql)).alias("_bb"))
+        .withColumn("band", F.col("_bb.band"))
+        .withColumn("bucket", F.col("_bb.bucket"))
+        .drop("_lsh_bits", "_bb")
+    )
+
+
+def blocked_cosine_pairs(
+    vectors: DataFrame, threshold: float, n_vectors: int | None = None
+) -> DataFrame:
+    """Banded-LSH near-dup pairs over a (vec_id, embedding) frame:
+    candidates share a random-hyperplane bucket in ANY of LSH_BANDS bands,
+    verified by exact cosine ≥ threshold. Norms are computed once per
+    VECTOR, not once per candidate pair.
+
+    Scale design (r6 — the ×50 probe caught the previous single-table,
+    fixed-8-plane form at 49 s/quadratic): bucket granularity ADAPTS to
+    corpus size, r = max(8, ⌈log₂ n⌉ + 3) planes per band, so expected
+    bucket occupancy stays ~constant and the within-bucket pair space
+    grows LINEARLY with n instead of n²/2⁸. Finer buckets alone would
+    crater recall (per-band match rate is p^r, p = 1 − θ/π per plane), so
+    the banding restores it exactly like the MinHash-LSH family in
+    dedup.py: a pair is a candidate if any of the B=8 bands agree —
+    recall 1 − (1 − p^r)^B, self-evidenced per run by the caller's
+    planted_recall column (the probe corpus is hashed with the MAIN
+    corpus's r via n_vectors, so the measured recall is the deployed
+    operator's, not a toy setting's). A pair matching several bands is
+    deduplicated AFTER the cheap threshold filter (dropDuplicates on the
+    id pair — the survivor set is tiny, re-verifying a duplicate costs
+    one 64-dim dot).
+
+    ``n_vectors``: pass the main corpus's count to pin parameters (probe
+    path); defaults to counting ``vectors`` (one metadata-cheap job per
+    build, amortized by prepare/execute)."""
+    import math
+
+    n = n_vectors if n_vectors is not None else vectors.count()
+    r = max(8, math.ceil(math.log2(max(n, 2))) + 3)
     # persisted, never unpersisted: session-scoped cache discipline (see
     # dedup.py module docstring) — both sides of the blocked self-join
     # read this frame.
-    emb = (
-        vectors.withColumn("bucket", lsh_bucket("embedding")).persist()
-    )
+    emb = banded_lsh_buckets(
+        vectors.withColumn("_norm", norm(F.col("embedding"))), r
+    ).persist()
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
-        norm(F.col("embedding")).alias("norm_a"),
+        F.col("_norm").alias("norm_a"),
+        "band",
         "bucket",
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        norm(F.col("embedding")).alias("norm_b"),
+        F.col("_norm").alias("norm_b"),
+        F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
     )
     pairs = a.join(
         b,
-        (F.col("bucket") == F.col("bucket_b"))
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bucket") == F.col("bucket_b"))
         & (F.col("vec_a") < F.col("vec_b")),
     )
     cos = F.round(
@@ -411,8 +480,10 @@ def blocked_cosine_pairs(vectors: DataFrame, threshold: float) -> DataFrame:
         / (F.col("norm_a") * F.col("norm_b")),
         4,
     )
-    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
@@ -438,7 +509,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a silently broken pipeline."""
     _POFF = 10_000_000  # sentinel id offset, far above any real vec_id
     raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    main = blocked_cosine_pairs(spread(raw), 0.95)
+    # one count pins the adaptive LSH parameters for BOTH the corpus pass
+    # and the planted-recall probe, so the recall column measures the
+    # operator exactly as deployed on this corpus size.
+    n_main = raw.count()
+    main = blocked_cosine_pairs(spread(raw), 0.95, n_vectors=n_main)
 
     originals = raw.orderBy("vec_id").limit(10)
     bump = F.transform(
@@ -455,7 +530,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             bump.alias("embedding"),
         )
     )
-    probe_pairs = blocked_cosine_pairs(probe_corpus, 0.95)
+    probe_pairs = blocked_cosine_pairs(probe_corpus, 0.95, n_vectors=n_main)
     recall = (
         probe_pairs.filter(F.col("vec_b") == F.col("vec_a") + _POFF)
         .agg(F.count(F.lit(1)).alias("n_found"))

@@ -66,12 +66,14 @@ PROBE_QUERIES = (
     "subquery_lateral_topn",
     # TPC-H shapes (the shuffle-heavy tree forms)
     "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
     "tpch_q4_priority_late_ship",
     "tpch_q5_local_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_value",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
     "tpch_q20_promo_share_suppliers",
@@ -176,10 +178,16 @@ def build(spark, replicas: int) -> str:
     )
     docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
-    # embeddings: offset ids and nudge each replica's vectors by a small
-    # replica-dependent delta so ANN bucketing sees distinct points (exact
-    # copies would collapse into degenerate buckets), while norms and the
-    # label structure stay essentially unchanged.
+    # embeddings: offset ids and perturb each replica's vector with a
+    # pseudo-random per-(replica, dimension) delta LARGE enough that
+    # replicas are genuinely distinct points. A small shared nudge (the
+    # first version of this builder) left every point with `replicas`
+    # near-identical copies — a planted 50-way near-dup cluster per point,
+    # whose candidate-pair space grows ~replicas² inside the near-dup
+    # join: a dup-bomb stress test, not a corpus scaled 50× (the same
+    # hazard the documents perturbation above documents). ±0.15/dim
+    # decorrelates copies at inter-point distance scale while keeping
+    # norms and labels realistic.
     emb = (
         table(spark, BASE, "embeddings")
         .crossJoin(reps)
@@ -190,9 +198,13 @@ def build(spark, replicas: int) -> str:
                 "embedding",
                 lambda x, i: (
                     x
-                    + (F.col("rep") % 7).cast("float")
-                    * F.lit(1e-3)
-                    * ((i % 5).cast("float") - 2.0)
+                    + (
+                        (
+                            (i * 31 + F.col("rep") * 17 + 3) % 11
+                        ).cast("float")
+                        - 5.0
+                    )
+                    * F.lit(0.03)
                 ).cast("float"),
             ),
         )

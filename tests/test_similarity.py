@@ -100,3 +100,44 @@ def test_embedding_dedup_planted_recall(spark, sf_dir):
     assert sentinel[0]["planted_recall"] >= 0.5
     for r in rows:
         assert r["planted_recall"] == sentinel[0]["planted_recall"]
+
+
+def test_banded_lsh_adapts_granularity_and_keeps_known_pairs(spark):
+    """The r6 scale fix: bucket granularity must grow with declared corpus
+    size (r = max(8, ceil(log2 n) + 3) planes per band), each vector must
+    emit exactly LSH_BANDS (band, bucket) rows, and a planted
+    near-identical pair must survive banding even at the granularity a
+    100M-vector corpus would use (per-band misses are re-caught by the
+    other bands — the whole point of banding over one finer table)."""
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.queries.similarity import (
+        LSH_BANDS,
+        banded_lsh_buckets,
+        blocked_cosine_pairs,
+    )
+
+    base = [0.9 if i % 3 else -0.4 for i in range(64)]
+    near = list(base)
+    near[7] += 0.05  # one-dim bump: cosine just under 1
+    far = [(-1.0) ** i * (0.1 + 0.01 * i) for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<double>",
+    )
+    exploded = banded_lsh_buckets(df, 12)
+    per_vec = (
+        exploded.groupBy("vec_id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_vec] == [LSH_BANDS]
+    # bucket ids stay within band range
+    assert exploded.where(
+        (F.col("bucket") < 0) | (F.col("bucket") >= 2**12)
+    ).count() == 0
+    # the near pair survives at 100M-corpus granularity (n=1e8 -> r=30)
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in blocked_cosine_pairs(df, 0.95, n_vectors=10**8).collect()
+    }
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
