@@ -317,6 +317,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     In a served index the assigned corpus is written `partitionBy(cid)` —
     IVF as Spark partitioning, the same layout trick as ann_lsh_topk but
     with data-adaptive cells.
+
+    Scale knobs: IVF_CLUSTERS is fixed (16) here because the declared
+    query's cost is dominated by its self-evidencing brute-force top-10
+    (a full-corpus scan by construction), so finer cells cannot move the
+    measured wall. A production index sizes nlist ≈ √n with nprobe
+    growing alongside (the banded-LSH dedup path in this module shows the
+    adaptive-granularity pattern applied where it DOES change the
+    asymptotics — pair generation); training stays bounded either way
+    (sample ≈ 100×nlist, capped).
     """
     import numpy as np
 

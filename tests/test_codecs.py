@@ -140,6 +140,12 @@ def test_png_color_type_variants():
     assert np.array_equal(
         decode_image(png), np.array([[[0, 255, 0], [255, 0, 0]]])
     )
+    # gray+alpha (4): alpha dropped, gray expands to 3 channels
+    ga = bytes([0]) + bytes([9, 255, 200, 0])
+    png = _make_png((2, 1, 8, 4, 0, 0, 0), [ga])
+    assert np.array_equal(
+        decode_image(png), np.array([[[9] * 3, [200] * 3]])
+    )
 
 
 def test_png_unsupported_variants_raise():
