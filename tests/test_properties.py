@@ -344,3 +344,106 @@ def test_random_join_differential_vs_duckdb(spark, sf_dir):
             ).fetchall()
         )
         assert a == b, f"case {i}: {sql}"
+
+
+def test_random_scalar_expr_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over the scalar-expression layer: 16 seeded random
+    string/date/arithmetic projections over customer/orders must match
+    DuckDB value-for-value. Expressions stick to the cross-engine-exact
+    subset (integer arithmetic, string slicing on ASCII data, date parts)
+    — the float-rounding hazards have their own discipline (_util docs)."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    table(spark, sf_dir, "customer").createOrReplaceTempView("c_sfuzz")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("o_sfuzz")
+
+    rng = random.Random(0xFEED)
+    for i in range(16):
+        kind = rng.choice(["string", "date", "arith"])
+        if kind == "string":
+            a, b = rng.randint(1, 6), rng.randint(1, 8)
+            expr = rng.choice(
+                [
+                    f"upper(substr(c_name, {a}, {b}))",
+                    f"length(c_name) + {a}",
+                    f"concat(c_mktsegment, '_', substr(c_name, {a}, {b}))",
+                    f"reverse(substr(c_name, {a}, {b}))",
+                ]
+            )
+            sql = f"SELECT c_custkey, {expr} AS v FROM {{c}}"
+            tbl = {"c": ("c_sfuzz", "customer")}
+        elif kind == "date":
+            part = rng.choice(["year", "month", "day"])
+            expr = f"CAST(date_part('{part}', o_orderdate) AS BIGINT)"
+            sql = f"SELECT o_orderkey, {expr} AS v FROM {{c}}"
+            tbl = {"c": ("o_sfuzz", "orders")}
+        else:
+            m, d = rng.randint(2, 9), rng.randint(2, 9)
+            # NOTE: CAST(x / m AS BIGINT) is deliberately absent — Spark
+            # truncates a double→bigint cast while DuckDB rounds to
+            # nearest, the documented divergence class the engine handles
+            # with explicit FLOOR everywhere (quality.py r6 fix); FLOOR is
+            # the portable form and is what this generator exercises.
+            expr = rng.choice(
+                [
+                    f"(o_orderkey * {m}) % {d}",
+                    f"CAST(FLOOR(o_orderkey / {m}) AS BIGINT) + {d}",
+                    f"abs({m} - CAST(o_orderkey % {d} AS BIGINT))",
+                ]
+            )
+            sql = f"SELECT o_orderkey, {expr} AS v FROM {{c}}"
+            tbl = {"c": ("o_sfuzz", "orders")}
+        s_name, d_name = tbl["c"]
+        a_rows = sorted(
+            tuple(r) for r in spark.sql(sql.format(c=s_name)).collect()
+        )
+        b_rows = sorted(con.execute(sql.format(c=d_name)).fetchall())
+        assert a_rows == b_rows, f"case {i}: {sql}"
+
+
+def test_random_order_limit_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over TakeOrderedAndProject: 10 seeded random
+    (sort columns, directions, NULLS placement emulation-free — the sort
+    keys are non-null) ORDER BY ... LIMIT combinations must produce the
+    IDENTICAL ordered prefix on both engines. Every spec ends with the
+    unique o_orderkey tiebreak, so the order is total and engine-
+    independent — the repo-wide top-k discipline this test generalizes."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("o_lfuzz")
+
+    COLS = ["o_orderstatus", "o_orderpriority", "o_custkey",
+            "CAST(o_totalprice * 100 AS BIGINT)"]
+    rng = random.Random(0xCAFE)
+    for i in range(10):
+        keys = rng.sample(COLS, rng.randint(1, 2))
+        spec = ", ".join(
+            f"{k} {rng.choice(['ASC', 'DESC'])}" for k in keys
+        )
+        n = rng.randint(1, 40)
+        sql = (
+            f"SELECT o_orderkey FROM {{t}} "
+            f"ORDER BY {spec}, o_orderkey LIMIT {n}"
+        )
+        a_rows = [r[0] for r in spark.sql(sql.format(t="o_lfuzz")).collect()]
+        b_rows = [r[0] for r in con.execute(sql.format(t="orders")).fetchall()]
+        assert a_rows == b_rows, f"case {i}: {sql}"
