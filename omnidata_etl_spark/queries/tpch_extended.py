@@ -881,17 +881,25 @@ def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself scale-corrected; a mean-relative cut keeps the result non-empty
     at every sf the driver runs).
 
-    The scalar aggregates (corpus total + part count) ride the per-part
-    frame as unpartitioned-window constants (r6; the allowed pattern —
-    the window sits ABOVE the groupBy, so the single-partition exchange
-    carries one row per part, pinned in tests/test_plans.py). This
-    replaces the r5 persist + broadcast-join shape: the window form needs
-    no cache materialization per execution and one fewer join — measured
-    0.24→0.15s same-session at sf0.1, values identical. The threshold
-    comparison is exact: int64 unit sums promoted to DECIMAL(38,0) before
-    the cross-multiply (the product can overflow int64 at the 100 TB
-    design point; DECIMAL keeps it exact and ANSI-safe), mirroring the
-    oracle's exact DECIMAL arithmetic."""
+    The scalar aggregates (corpus total + part count) come from a ONE-ROW
+    aggregate over the PERSISTED per-part frame, broadcast-crossJoined
+    back (r7; reverts the r6 unpartitioned-window form after ADVICE
+    flagged it — the window funneled ALL per-part rows through one
+    partition, and part cardinality grows linearly with SF: billions of
+    rows through one task at the 100 TB design point. In the agg form the
+    single-partition exchange carries only the map-side partial rows —
+    bounded at any SF — and the persist makes the fact join+agg run once
+    for both consumers: measured 0.77 s unpersisted (the totals branch
+    re-ran the whole join; ReuseExchange does not fire across the
+    broadcast boundary) vs 0.45 s persisted fresh-session / 0.40 s
+    prepared at sf0.1 — vs 0.23 s for the traded-away window form, the
+    accepted price of bounded exchanges. Session-scoped cache discipline
+    per dedup.py — Spark's CacheManager dedupes repeat builds by
+    canonicalized plan). The threshold comparison is exact:
+    int64 unit sums promoted to DECIMAL(38,0) before the cross-multiply
+    (the product can overflow int64 at the 100 TB design point; DECIMAL
+    keeps it exact and ANSI-safe), mirroring the oracle's exact DECIMAL
+    arithmetic."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
@@ -902,17 +910,16 @@ def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(rev_units()).alias("value_units"))
+        .persist()
     )
-    w = Window.partitionBy()
+    totals = v.agg(
+        F.sum(F.col("value_units").cast("decimal(38,0)")).alias(
+            "total_units"
+        ),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
-        v.select(
-            "l_partkey",
-            "value_units",
-            F.sum(F.col("value_units").cast("decimal(38,0)"))
-            .over(w)
-            .alias("total_units"),
-            F.count(F.lit(1)).over(w).alias("n_parts"),
-        )
+        v.crossJoin(F.broadcast(totals))
         .where(
             F.col("value_units").cast("decimal(38,0)") * F.col("n_parts")
             > F.lit(3) * F.col("total_units")

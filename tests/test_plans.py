@@ -464,7 +464,6 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
         "queries/projections.py",  # surrogate_key over `region` (5 rows)
         "queries/text.py",       # vocab total over groupBy(tok) output
         "queries/events.py",     # cumulative sum over per-day aggregates
-        "queries/tpch_extended.py",  # q11 scalar total over per-part agg
     }, f"new unpartitioned-window site(s): {sites}"
 
     def window_subtrees_reduced(name: str, dim_ok: bool = False) -> None:
@@ -498,7 +497,21 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
     window_subtrees_reduced("surrogate_key", dim_ok=True)
     window_subtrees_reduced("text_perplexity_proxy")
     window_subtrees_reduced("events_daily_user_growth")
-    window_subtrees_reduced("tpch_q11_important_value")
+
+
+def test_q11_no_unpartitioned_window_and_single_fact_pass(spark, sf_dir):
+    """r7 (ADVICE medium): q11's scalar totals must NOT ride an
+    unpartitioned Window over the per-part frame — part cardinality is
+    SF-linear, so that single-partition exchange is unbounded at scale.
+    Pins the replacement shape: no Window at all, the per-part aggregate
+    persisted (InMemoryRelation) so the fact join runs once for both the
+    totals branch and the filter branch, and totals arrive via a
+    broadcast join of a one-row aggregate."""
+    plan = _plan(spark, sf_dir, "tpch_q11_important_value")
+    tree = plan.split("\n\n", 1)[0]
+    assert "Window" not in tree
+    assert "InMemoryTableScan" in tree or "InMemoryRelation" in plan
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
 
 
 def test_q4_derived_shipdate_bound_reaches_scan(spark, sf_dir):
