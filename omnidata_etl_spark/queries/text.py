@@ -876,8 +876,13 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     One tokenize pass collapsed to (doc, tok) counts (map-side partial
     agg), persisted for its two consumers (document frequencies and the
     scoring join — broadcast consumers get no ReusedExchange; session
-    cache discipline per dedup.py). The corpus doc count rides the tiny
-    df table as a window constant. Determinism: scores are rounded to 9dp
+    cache discipline per dedup.py). The corpus doc count is a LAZY
+    one-row aggregate crossJoined onto the tiny per-token df table
+    (r7 — replaces an eager docs.count() at build time, the only
+    declared query that ran a job before its returned DataFrame did;
+    the count scans only the pruned doc_id column and rides the df_t
+    broadcast, so execution cost is unchanged and a stale count can no
+    longer outlive the session). Determinism: scores are rounded to 9dp
     DECIMAL before BOTH the comparison and the output (the perplexity
     family's engine-order-proof trick), and rank ties break on the term
     itself, so top-3 membership is engine-independent. The per-doc rank
@@ -893,10 +898,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-    n_docs = docs.count()  # scan-only count on the pruned doc_id column
-    df_t = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_t = (
+        tc.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .crossJoin(F.broadcast(n_docs))
+    )
     score = F.round(
-        F.col("c") * F.log(F.lit(float(n_docs)) / F.col("d")), 9
+        F.col("c") * F.log(F.col("n") / F.col("d")), 9
     ).cast("decimal(18,9)")
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("tok")

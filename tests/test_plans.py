@@ -514,6 +514,24 @@ def test_q11_no_unpartitioned_window_and_single_fact_pass(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
 
 
+def test_tfidf_builds_lazily_no_job(spark, sf_dir):
+    """r7 (r6 verdict #4): text_tfidf_topterms previously ran an eager
+    docs.count() inside the builder — the only declared query executing a
+    Spark job before its returned DataFrame did. Pin the fix: a repeat
+    build (handle caches warm — the first build may read parquet footers)
+    schedules NO job; the corpus count is a lazy one-row aggregate riding
+    the df_t broadcast instead."""
+    _SPECS["text_tfidf_topterms"].fn(spark, sf_dir)  # warm handle caches
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf-build-check", "assert lazy build")
+    try:
+        _SPECS["text_tfidf_topterms"].fn(spark, sf_dir)
+        ids = sc.statusTracker().getJobIdsForGroup("tfidf-build-check")
+    finally:
+        sc._jsc.clearJobGroup()
+    assert list(ids) == [], f"build ran jobs: {ids}"
+
+
 def test_q4_derived_shipdate_bound_reaches_scan(spark, sf_dir):
     """r6 rewrite pins: (a) the derived bound l_shipdate > 1996-08-30
     (quarter start + 60 days — underivable by Catalyst across the
