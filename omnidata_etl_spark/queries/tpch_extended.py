@@ -824,7 +824,17 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact int64 in 1e-4 units — the DECIMAL oracle's 0.10 multiplier is
     absorbed by cents(p_retailprice) × qty × 10 units. Plan: part (pruned
     by the LIKE at the scan) and supplier⋈nation broadcast into the fact;
-    orders arrives via its own key join; one final small rollup."""
+    the fact side then PRE-AGGREGATES profit per (orderkey, nation) BELOW
+    the orders join (r7): the amount expression is computed before the
+    exchange so only (l_orderkey, nation, units) ever shuffles — not the
+    price/discount/qty/retail columns — and the explicit repartition on
+    l_orderkey alone both satisfies the groupBy (orderkey ⊆ keys) and
+    leaves the frame partitioned exactly as the orderkey merge join
+    requires, so the pre-agg costs NO extra exchange and the sort + join
+    see ~|distinct (order, nation)| rows instead of per-line rows
+    (measured 0.57→0.52 s prepared at sf0.1; the win widens with
+    lines-per-order at scale). Orders projects (o_orderkey, o_year)
+    below the join for the same narrow-sort reason."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = table(spark, sf_dir, "supplier")
@@ -832,7 +842,13 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge hint: unreduced orders joined to the part-pruned lineitem is
     # fact-fact; the r4 ×10 probe measured the estimate-driven orders
     # broadcast at 1071ms vs hinted SMJ 608ms.
-    o = table(spark, sf_dir, "orders").hint("merge")
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .hint("merge")
+    )
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("nation")
     )
@@ -841,17 +857,18 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = rev_units() - cents("p_retailprice") * F.col(
         "l_quantity"
     ).cast("long") * F.lit(10)
-    return (
+    pre = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            "nation",
-            F.year("o_orderdate").cast("int").alias("o_year"),
-            amount.alias("amount_units"),
-        )
+        .select("l_orderkey", "nation", amount.alias("amount_units"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "nation")
+        .agg(F.sum("amount_units").alias("au"))
+    )
+    return (
+        pre.join(o, pre.l_orderkey == o.o_orderkey)
         .groupBy("nation", "o_year")
-        .agg((F.sum("amount_units") / 10000.0).alias("sum_profit"))
+        .agg((F.sum("au") / 10000.0).alias("sum_profit"))
     )
 
 
