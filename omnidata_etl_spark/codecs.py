@@ -2,13 +2,19 @@
 
 The container has no image/audio libraries (no PIL/opencv/soundfile), but
 real codecs don't all need one: PPM (P6) and 24-bit BMP are header + raw
-pixel bytes, WAV/PCM16 is readable with the stdlib `wave` module, and PNG
-is zlib (stdlib) + a numpy scanline unfilter — all byte-exact,
+pixel bytes, WAV/PCM16 is readable with the stdlib `wave` module, PNG is
+zlib (stdlib) + a numpy scanline unfilter, and GIF (r7) is a pure-Python
+variable-width LZW over a color table — all byte-exact,
 decode(encode(x)) == x — so the engine's decode / resize / waveform-stats
-operators run for real on assets stored in any of these formats. The
-codecs that genuinely need an external library (JPEG/GIF/WebP/MP3) raise
-NotImplementedError from the same dispatch point, keyed on magic bytes, so
-swapping in pillow later touches only `decode_image`.
+operators run for real on assets stored in any of these formats.
+
+Scope (r6 verdict #3 / r7): JPEG is OUT OF SCOPE without a third-party
+library — a spec-correct baseline JPEG needs Huffman + dequant + IDCT +
+chroma upsampling, and a from-scratch reimplementation would be slow and
+a correctness risk with no fixture source to validate against in this
+container. WebP/MP3 likewise. Those formats raise NotImplementedError
+from the magic-byte dispatch with an actionable message, so swapping in
+pillow later touches only `decode_image`/`decode_audio`.
 
 Everything here is a pure bytes→numpy (or back) function: the Spark side
 calls them inside Arrow-batched `mapInPandas` ops (queries/multimodal.py),
@@ -175,17 +181,35 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# Average/Paeth rows reconstruct left-sequentially in Python (~1 µs/byte);
+# above this many filtered bytes the decode would take minutes inside an
+# executor UDF, so it raises with a clear message instead of hanging a task
+# (r6 ADVICE — real-world megapixel PNGs are predominantly Paeth-filtered).
+_PNG_SLOW_FILTER_CEILING = 8 << 20
+
+
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filters (spec §6). Rows carry an Up/Paeth
-    dependency on the previous RECONSTRUCTED row and Sub/Average/Paeth a
-    within-row dependency on the reconstructed left neighbor, so recon is
-    row-sequential; each row is numpy work except the Sub/Average/Paeth
-    left-scan, which walks the stride once in Python — fine for the asset
-    sizes a decode UDF sees per batch (compute is per-byte either way)."""
+    dependency on the previous RECONSTRUCTED row, so recon is
+    row-sequential. Per row: None/Up are whole-row numpy; Sub is exact
+    per-lane cumsum mod 256 (rec[x] = cur[x] + rec[x-bpp] unrolls to a
+    running sum within each x ≡ c (mod bpp) lane — int64 cumsum then
+    & 0xFF, vectorized; r7, the r6 ADVICE finding); Average/Paeth keep
+    the Python left-scan (their predictors mix the reconstructed left
+    with the previous row through >>1 / a 3-way min, which no prefix
+    scan expresses) behind a size ceiling that raises rather than burn
+    minutes of executor CPU on a megapixel Paeth asset."""
     rows = raw.reshape(h, 1 + stride)
     ftypes, data = rows[:, 0], rows[:, 1:]
+    if np.isin(ftypes, (3, 4)).any() and raw.nbytes > _PNG_SLOW_FILTER_CEILING:
+        raise NotImplementedError(
+            f"PNG uses Average/Paeth filters over {raw.nbytes} bytes; the "
+            "pure-Python left-scan would take minutes — re-encode with "
+            "filter 0/Sub/Up or add a C-backed codec for assets this size"
+        )
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
+    lanes = stride // bpp
     for y in range(h):
         f = int(ftypes[y])
         cur = data[y].astype(np.int32)
@@ -193,13 +217,16 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             rec = cur
         elif f == 2:  # Up
             rec = (cur + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+        elif f == 1:  # Sub: per-lane running sum, exact under mod 256
+            lane = cur.astype(np.int64).reshape(lanes, bpp)
+            rec = (np.cumsum(lane, axis=0) & 0xFF).reshape(stride).astype(
+                np.int32
+            )
+        elif f in (3, 4):  # Average / Paeth: left-dependent scan
             rec = cur.copy()
             for x in range(stride):
                 left = rec[x - bpp] if x >= bpp else 0
-                if f == 1:
-                    rec[x] = (rec[x] + left) & 0xFF
-                elif f == 3:
+                if f == 3:
                     rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
                 else:
                     up = prev[x]
@@ -270,18 +297,210 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))  # 0/4
 
 
+# --- image: GIF (pure-Python variable-width LZW + numpy palette map) ---------
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW (spec appendix F): variable code width starting at
+    mcs+1 bits, LSB-first bit packing, CLEAR resets the table, width grows
+    when the next table slot reaches 2^width (capped at 12 bits). The
+    per-code loop is Python, byte-appends are list ops — same linear
+    per-byte CPU class as the PNG unfilter; asset-sized payloads only."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    cs = mcs + 1
+    out = bytearray()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= cs:
+            code = acc & ((1 << cs) - 1)
+            acc >>= cs
+            bits -= cs
+            if code == clear:
+                table = list(base)
+                cs = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # deferred-clear streams stop adding
+                    table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt GIF LZW stream: code {code}")
+            out += entry
+            prev = entry
+            if len(table) == (1 << cs) and cs < 12:
+                cs += 1
+            if len(out) >= n_pixels:
+                return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+    raise ValueError("truncated GIF LZW stream (no EOI, pixels short)")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → single-frame GIF89a with a global color
+    table. No quantizer (fixture-writer, like encode_png): the image must
+    have ≤256 distinct colors or this raises. The LZW stream is a real
+    dictionary encoder (not the emit-clear-every-code shortcut), tracking
+    code width exactly as the decoder grows it."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got {a.shape}")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"{len(palette)} distinct colors; encode_gif writes palette "
+            "images only (quantize first)"
+        )
+    mcs = max(2, int(len(palette) - 1).bit_length())
+    gct = np.zeros((1 << mcs, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    codes: list[tuple[int, int]] = []  # (code, width at emit time)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, cs = eoi + 1, mcs + 1
+    codes.append((clear, cs))
+    seq = indices.astype(np.uint8).tobytes()
+    wbuf = seq[:1]
+    for i in range(1, len(seq)):
+        k = seq[i : i + 1]
+        if table.get(wbuf + k) is not None:
+            wbuf += k
+            continue
+        codes.append((table[wbuf], cs))
+        table[wbuf + k] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << cs) and cs < 12:
+            # the decoder mirrors this add one code LATER (it appends the
+            # entry for emitted code C_i while processing C_{i+1}), so its
+            # table hits 2^cs — and its read width grows — exactly when
+            # our next_code-1 does; grow before emitting the next code
+            cs += 1
+        elif next_code == 4096:
+            codes.append((clear, cs))
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code, cs = eoi + 1, mcs + 1
+        wbuf = k
+    if seq:
+        codes.append((table[wbuf], cs))
+    codes.append((eoi, cs))
+
+    acc = bits = 0
+    stream = bytearray()
+    for code, width in codes:
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | ((mcs - 1) << 4) | (mcs - 1))  # GCT flag + sizes
+    out += b"\x00\x00"  # background index, aspect
+    out += gct.tobytes()
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0, 0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0)  # no LCT, not interlaced
+    out.append(mcs)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (h, w, 3) uint8 RGB. First image block of the file
+    (animation frames beyond the first are a frame-sampler's concern, not
+    a decode-one-asset codec's); extensions are skipped per spec framing;
+    interlaced images raise like Adam7 PNG does."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 14:
+        raise ValueError("truncated GIF header")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        gct = gct.reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            n = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + n])
+            pos += 1 + n
+        idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
+        if len(idx) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("GIF index outside color table")
+        return np.ascontiguousarray(ct[idx.reshape(ih, iw)])
+    raise ValueError("GIF contains no image block")
+
+
 # --- image dispatch ----------------------------------------------------------
 
 _COMPRESSED_MAGICS = {
     b"\xff\xd8\xff": "jpeg",
-    b"GIF8": "gif",
     b"RIFF": "webp/riff",
 }
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """bytes → (h, w, 3) uint8 RGB. Real for PPM/BMP; compressed formats
-    need a codec library this container doesn't have."""
+    """bytes → (h, w, 3) uint8 RGB. Real for PPM/BMP/PNG/GIF; JPEG/WebP
+    are out of scope without a codec library (module docstring)."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty image payload")
     if payload[:2] == b"P6":
@@ -290,11 +509,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return _decode_gif(payload)
     for magic, name in _COMPRESSED_MAGICS.items():
         if payload[: len(magic)] == magic:
             raise NotImplementedError(
-                f"{name} decode needs pillow/opencv (not in this container); "
-                "PPM and 24-bit BMP decode natively"
+                f"{name} decode needs pillow/opencv (not in this container, "
+                "and out of scope to reimplement — module docstring); "
+                "PPM, 24-bit BMP, 8-bit PNG, and GIF decode natively"
             )
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 

@@ -6,10 +6,10 @@ extraction / resize / frame-sampling run as Arrow-batched Pandas functions
 over ``mapInPandas`` so the payload bytes never round-trip through Python
 row-at-a-time serde. Decode is REAL for the formats a bare container can
 express — PPM/BMP images (numpy), PNG (stdlib zlib + numpy unfilter),
-WAV/PCM16 audio (stdlib ``wave``) — see omnidata_etl_spark/codecs.py;
-codecs that genuinely need an external library (JPEG/GIF/MP3) raise
-NotImplementedError from the same magic-byte dispatch until one exists
-here. The Spark-side plumbing (schema, batching, partitioning) is
+GIF (pure-Python LZW, r7), WAV/PCM16 audio (stdlib ``wave``) — see
+omnidata_etl_spark/codecs.py; JPEG/MP3 genuinely need an external library
+(documented out of scope there) and raise NotImplementedError from the
+same magic-byte dispatch until one exists here. The Spark-side plumbing (schema, batching, partitioning) is
 identical for both (tests/test_multimodal.py, tests/test_codecs.py).
 """
 
@@ -25,12 +25,12 @@ from pyspark.sql import types as T
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.session import ensure_tuned
 
-# Real codecs for the container-expressible formats: PPM/BMP/PNG images
+# Real codecs for the container-expressible formats: PPM/BMP/PNG/GIF images
 # decode to numpy with zero dependencies (PNG via stdlib zlib + a numpy
-# unfilter), WAV/PCM16 via stdlib `wave`; formats needing an external
-# library (JPEG/GIF) still raise NotImplementedError from the same
-# magic-byte dispatch. Re-exported here so the multimodal surface is one
-# import for callers.
+# unfilter, GIF via pure-Python LZW), WAV/PCM16 via stdlib `wave`; JPEG
+# still raises NotImplementedError from the same magic-byte dispatch
+# (out of scope without a library). Re-exported here so the multimodal
+# surface is one import for callers.
 from omnidata_etl_spark.codecs import (
     decode_audio,
     decode_image,
@@ -206,27 +206,30 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> bytes:
     """Deterministic image payload for a document: its UTF-8 bytes tiled
-    into a (h, w, 3) pixel grid, encoded as PPM, BMP, or PNG by doc_id —
-    a format MIX, so the decode queries exercise every real codec
-    (including the zlib+numpy PNG path) through the same magic-byte
-    dispatch an ingested corpus would hit."""
+    into a (h, w, 3) pixel grid, encoded as PPM, BMP, PNG, or GIF by
+    doc_id — a format MIX, so the decode queries exercise every real
+    codec (the zlib+numpy PNG path and the r7 LZW GIF path included)
+    through the same magic-byte dispatch an ingested corpus would hit.
+    GIF's ≤256-color constraint always holds here: the grid has w·h = 192
+    pixels, so at most 192 distinct colors."""
     import numpy as np
 
-    from omnidata_etl_spark.codecs import encode_bmp, encode_png
+    from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
 
     raw = (text or "").encode("utf-8") or bytes([doc_id % 256])
     need = w * h * 3
     reps = -(-need // len(raw))
     pix = np.frombuffer((raw * reps)[:need], dtype=np.uint8).reshape(h, w, 3)
-    enc = (encode_ppm, encode_bmp, encode_png)[doc_id % 3]
+    enc = (encode_ppm, encode_bmp, encode_png, encode_gif)[doc_id % 4]
     return enc(pix)
 
 
 @query("multimodal_image_decode_stats", tags=("multimodal", "codec", "pandas-udf"))
 def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode over the corpus: synthesize a PPM/BMP/PNG asset
-    per document (ingest stand-in, format mixed by doc_id so all three
-    real codecs run — PNG through the zlib+numpy scanline path), decode it
+    """REAL image decode over the corpus: synthesize a PPM/BMP/PNG/GIF
+    asset per document (ingest stand-in, format mixed by doc_id so all
+    four real codecs run — PNG through the zlib+numpy scanline path, GIF
+    through the r7 variable-width LZW path), decode it
     with the zero-dependency codec, and aggregate per-source brightness
     stats. Self-evidencing (rows-only query): ``roundtrip_ok_all`` is true
     only if re-encoding the decoded pixels in the SAME format reproduces
@@ -234,9 +237,9 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     proven inside the query's own output."""
     import numpy as np
 
-    from omnidata_etl_spark.codecs import encode_bmp, encode_png
+    from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
 
-    encoders = (encode_ppm, encode_bmp, encode_png)
+    encoders = (encode_ppm, encode_bmp, encode_png, encode_gif)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,7 +257,7 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 out["height"].append(img.shape[0])
                 out["width"].append(img.shape[1])
                 out["roundtrip_ok"].append(
-                    encoders[int(did) % 3](img) == payload
+                    encoders[int(did) % 4](img) == payload
                 )
             yield pd.DataFrame(out)
 
@@ -482,7 +485,7 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the path a 100 TB multimodal corpus actually arrives by (image/audio
     blobs as files on object storage, one row per file with path, length,
     modificationTime, content). Stages a small deterministic asset set in
-    a PPM/BMP/PNG format mix into a scratch dir once (keyed by sf_dir so
+    a PPM/BMP/PNG/GIF format mix into a scratch dir once (keyed by sf_dir so
     scale factors don't
     collide), reads it back via ``spark.read.format("binaryFile")``, and
     decodes every payload with the zero-dependency codec.
@@ -500,18 +503,19 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    # v2: format mix (ppm/bmp/png). The version suffix invalidates stale
-    # ppm-only staging dirs left by earlier builds (the .done marker would
+    # v3: format mix (ppm/bmp/png/gif). The version suffix invalidates
+    # stale staging dirs from earlier format sets (the .done marker would
     # otherwise keep serving them).
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     root = os.path.join(
-        tempfile.gettempdir(), f"omnidata_binassets_{os.getuid()}", key + "v2"
+        tempfile.gettempdir(), f"omnidata_binassets_{os.getuid()}", key + "v3"
     )
     done = os.path.join(root, ".done")
-    from omnidata_etl_spark.codecs import encode_bmp, encode_png
+    from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
 
     encoders = (
-        ("ppm", encode_ppm), ("bmp", encode_bmp), ("png", encode_png)
+        ("ppm", encode_ppm), ("bmp", encode_bmp), ("png", encode_png),
+        ("gif", encode_gif),
     )
     if not os.path.exists(done):
         os.makedirs(root, exist_ok=True)
@@ -519,7 +523,7 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             w, h = 8 + (i % 3) * 4, 6 + (i % 2) * 6
             rng = np.random.default_rng(i)
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            ext, enc = encoders[i % 3]
+            ext, enc = encoders[i % 4]
             path = os.path.join(root, f"asset_{i:02d}_{w}x{h}.{ext}")
             with open(path, "wb") as f:
                 f.write(enc(img))

@@ -46,7 +46,8 @@ def test_bmp_roundtrip_byte_exact():
 def test_compressed_formats_raise_not_implemented():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0....")
-    with pytest.raises(NotImplementedError):
+    # GIF decodes natively since r7; a truncated one is a ValueError
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a....")
     with pytest.raises(ValueError):
         decode_image(b"??garbage")
@@ -170,6 +171,86 @@ def test_png_unsupported_variants_raise():
         decode_image(patch_ihdr(good, 8, 16))
     with pytest.raises(NotImplementedError, match="interlaced"):
         decode_image(patch_ihdr(good, 12, 1))
+
+
+def test_gif_roundtrip_byte_exact():
+    from omnidata_etl_spark.codecs import encode_gif
+
+    rng = np.random.default_rng(11)
+    # ≤256 distinct colors: sample pixels from a fixed random palette
+    for h, w, ncol in ((1, 1, 1), (5, 7, 4), (24, 31, 200), (40, 64, 256)):
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        a = pal[rng.integers(0, ncol, size=(h, w))]
+        assert np.array_equal(decode_image(encode_gif(a)), a)
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    from omnidata_etl_spark.codecs import encode_gif
+
+    # a large non-repetitive image drives the LZW table through every
+    # code width up to 12 bits and across the 4096-entry reset — the two
+    # encoder/decoder alignment hazards
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    pal = np.unique(pal, axis=0)
+    a = pal[rng.integers(0, len(pal), size=(120, 200))]
+    payload = encode_gif(a)
+    assert np.array_equal(decode_image(payload), a)
+
+
+def test_gif_spec_framing():
+    from omnidata_etl_spark.codecs import encode_gif
+
+    a = np.array([[[0, 0, 0], [255, 10, 7]]], dtype=np.uint8)
+    raw = encode_gif(a)
+    # splice a graphic-control extension between the screen descriptor
+    # and the image block — the decoder must skip extension sub-blocks
+    gct_end = 13 + 3 * 4  # header + 4-entry (mcs=2) global color table
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = raw[:gct_end] + ext + raw[gct_end:]
+    assert np.array_equal(decode_image(spliced), a)
+    # interlaced flag raises, like Adam7 PNG
+    img_desc = bytearray(raw)
+    img_desc[gct_end + 9] |= 0x40  # image-descriptor packed byte
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(img_desc))
+    # >256 distinct colors is an encoder error, not silent quantization
+    rng = np.random.default_rng(2)
+    with pytest.raises(ValueError):
+        encode_gif(rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8))
+
+
+def test_png_sub_filter_vectorized_lane_sum():
+    # Sub rows now reconstruct via per-lane cumsum — prove exactness on a
+    # wide row where wraparound (mod 256) occurs many times per lane
+    truth = (np.arange(1 * 500 * 3, dtype=np.int64) * 37 % 256).astype(
+        np.uint8
+    ).reshape(1, 500, 3)
+    flat = truth.reshape(1, 1500).astype(np.int32)
+    enc = np.zeros(1500, dtype=np.int32)
+    for x in range(1500):
+        left = flat[0][x - 3] if x >= 3 else 0
+        enc[x] = (flat[0][x] - left) & 0xFF
+    png = _make_png(
+        (500, 1, 8, 2, 0, 0, 0), [bytes([1]) + enc.astype(np.uint8).tobytes()]
+    )
+    assert np.array_equal(decode_image(png), truth)
+
+
+def test_png_paeth_size_ceiling():
+    from omnidata_etl_spark import codecs
+
+    # a Paeth-filtered PNG above the slow-path ceiling raises instead of
+    # burning minutes of per-byte Python inside an executor task; the
+    # all-zero scanlines compress to a few KB so the fixture stays cheap
+    w = 21
+    stride = w * 3  # 64-byte rows incl. the filter byte
+    h = codecs._PNG_SLOW_FILTER_CEILING // (1 + stride) + 2
+    line = bytes([4]) + bytes(stride)
+    big = _make_png((w, h, 8, 2, 0, 0, 0), [line] * h)
+    assert h * (1 + stride) > codecs._PNG_SLOW_FILTER_CEILING
+    with pytest.raises(NotImplementedError):
+        decode_image(big)
 
 
 def test_png_resize_path():

@@ -16,11 +16,13 @@ from omnidata_etl_spark.queries.multimodal import (
 
 
 def test_library_needing_decodes_are_marked_stubs():
-    # PNG decodes for real since r6 (zlib+numpy); JPEG/GIF still need a
-    # codec library and must keep raising from the magic-byte dispatch.
+    # PNG decodes for real since r6 (zlib+numpy), GIF since r7 (LZW);
+    # JPEG is documented OUT OF SCOPE without a codec library and must
+    # keep raising from the magic-byte dispatch. A malformed GIF is a
+    # ValueError from the real decoder, not a stub.
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0...")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a...")
 
 
