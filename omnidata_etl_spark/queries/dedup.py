@@ -437,7 +437,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash64) for any (doc_id, text) frame — the simhash body
-    shared by the corpus query and its planted-pair probe."""
+    shared by the corpus query and its planted-pair probe.
+
+    Over-bound failure mode (r7, ADVICE): the raise_error guard below
+    evaluates in the projection AFTER the lane-packed SUMs, so a doc
+    ≥2²¹ tokens whose tokens densely set a top-lane (shift-42) bit can
+    overflow the long SUM under ANSI during aggregation — surfacing
+    SparkArithmeticException ARITHMETIC_OVERFLOW instead of the guard's
+    'chunk it first' message. Both are hard failures on the same
+    out-of-contract input (never a wrong fingerprint): the guard fires
+    for every over-bound doc the sum survives; ANSI preempts it only
+    when a single bit's count itself reaches 2²¹. An always-friendly
+    message would need per-bit 64-sum aggregation — the exact shape the
+    lane packing exists to avoid (−25% agg stage) — so the trade is
+    documented rather than unwound."""
     from omnidata_etl_spark.queries._util import spread
 
     tok = (

@@ -125,6 +125,14 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
 
     ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``; one JVM, so
     ``spark.driver.memory`` is the only memory knob that matters locally.
+
+    Session-global side effect (r7, ADVICE): the WindowExec 'No Partition
+    Defined' warning logger is demoted to ERROR for the session's
+    lifetime — including for ad-hoc user queries run through the same
+    session, whose unpartitioned windows are NOT covered by the repo's
+    structural allow-list (tests/test_plans.py). Set
+    ``OMNIDATA_KEEP_WINDOW_WARN=1`` to keep the stock warning for your
+    own queries.
     """
     cpus = default_parallelism()
     builder = (
@@ -199,7 +207,11 @@ def get_session(app_name: str = "omnidata-etl-spark") -> SparkSession:
     # less window sits above an aggregate or a bounded dim (allow-list +
     # plan-shape asserts in tests/test_plans.py::
     # test_unpartitioned_windows_sit_above_small_frames). Demote that one
-    # logger so real warnings stay visible in bench/driver logs.
+    # logger so real warnings stay visible in bench/driver logs; opt out
+    # via OMNIDATA_KEEP_WINDOW_WARN=1 (see docstring — the demotion is
+    # session-global, so it would also silence user-authored queries).
+    if os.environ.get("OMNIDATA_KEEP_WINDOW_WARN") == "1":
+        return ensure_tuned(spark)
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
