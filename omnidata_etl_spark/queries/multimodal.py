@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from omnidata_etl_spark.catalog import table
+from omnidata_etl_spark.queries._util import spread
 from omnidata_etl_spark.session import ensure_tuned
 
 # Real codecs for the container-expressible formats: PPM/BMP/PNG/GIF images
@@ -265,7 +266,14 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "source string, brightness double, width int, height int, "
         "roundtrip_ok boolean"
     )
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # spread(): the single-file documents scan yields ONE input partition,
+    # so without it the per-asset codec CPU (the real decode work) runs on
+    # one core of 32 — r7 caught decode_stats at 1.78 s wall with ~1.5 s
+    # of single-core Python under it (GIF+PNG per-doc cost); the
+    # round-robin fan-out buys full parallelism for ~5 MB moved.
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
     decoded = docs.mapInPandas(op, schema=schema)
     return (
         decoded.groupBy("source")
@@ -313,7 +321,11 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, out_bytes long, dims_ok boolean, "
         "brightness_shift double"
     )
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # spread(): same single-partition-scan hazard as decode_stats — the
+    # bilinear resample + double decode is per-asset Python CPU.
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
     resized = docs.mapInPandas(op, schema=schema)
     return (
         resized.groupBy("source")
@@ -370,7 +382,11 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, duration_ms long, rms double, zcr double, "
         "decode_ok boolean"
     )
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # spread(): same single-partition-scan hazard — WAV encode+decode per
+    # asset is Python CPU.
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
     stats = docs.mapInPandas(op, schema=schema)
     return (
         stats.groupBy("source")
