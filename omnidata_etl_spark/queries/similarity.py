@@ -566,17 +566,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(i == F.pmod(F.col("vec_id"), F.lit(EMBED_DIM)), 0.05)
         .otherwise(0.0),
     )
-    corpus = (
-        spread(raw)
-        .select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
-        )
-        .unionByName(
-            originals.select(
-                (F.col("vec_id") + _POFF).alias("vec_id"),
-                bump.alias("embedding"),
-            )
+    # the union stays array<float> (the probe copies cast DOWN, not the
+    # corpus up): the persisted LSH frame and the candidate join carry
+    # emb_a/emb_b for every vector, and float halves those bytes — all
+    # plane-dot/cosine arithmetic casts per-element to double inside the
+    # expressions regardless. The 0.05 bump survives float rounding with
+    # ~7 decimal digits to spare.
+    corpus = spread(raw).unionByName(
+        originals.select(
+            (F.col("vec_id") + _POFF).alias("vec_id"),
+            bump.cast("array<float>").alias("embedding"),
         )
     )
     # r is pinned by the MAIN corpus size: the probe copies ride along at
