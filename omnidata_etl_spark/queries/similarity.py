@@ -584,12 +584,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     main = all_pairs.filter(
         (F.col("vec_a") < _POFF) & (F.col("vec_b") < _POFF)
     )
+    # the denominator is the number of copies WE planted — min(10, corpus
+    # size), already known from the memoized count — not a quantity to
+    # re-derive with a second sort-limit + crossJoin per execution (r7:
+    # shaved one TakeOrdered job and a join from every run).
+    n_planted = min(10, n_main)
     recall = (
         all_pairs.filter(F.col("vec_b") == F.col("vec_a") + _POFF)
         .agg(F.count(F.lit(1)).alias("n_found"))
-        .crossJoin(originals.agg(F.count(F.lit(1)).alias("n_pl")))
         .select(
-            (F.col("n_found").cast("double") / F.col("n_pl")).alias(
+            (F.col("n_found").cast("double") / F.lit(float(n_planted))).alias(
                 "planted_recall"
             )
         )
