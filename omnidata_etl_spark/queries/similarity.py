@@ -22,6 +22,11 @@ from omnidata_etl_spark.registry import query
 
 EMBED_DIM = 64
 LSH_PLANES = 8  # 2^8 = 256 buckets
+# Corpus size above which banded LSH hashing switches from the SQL
+# expression path to the Arrow/BLAS matmul path (see banded_lsh_buckets):
+# the crossover sits between the measured 2k (SQL wins) and 100k (matmul
+# wins) corpora.
+NUMPY_LSH_MIN_N = 32_768
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -391,15 +396,57 @@ LSH_BANDS = 8  # near-dup banding width (recall = 1 - (1 - p^r)^B)
 
 
 def banded_lsh_buckets(
-    vectors: DataFrame, planes_per_band: int, col: str = "embedding"
+    vectors: DataFrame,
+    planes_per_band: int,
+    col: str = "embedding",
+    use_numpy: bool = False,
 ) -> DataFrame:
     """Explode a (…, embedding) frame to one row per (band, bucket): band b's
     bucket id packs the sign bits of planes [b·r, b·r+r). All B·r plane dot
     products evaluate in ONE projected bit-array column (single parsed SQL
     expression — the Column-object form costs ~500 py4j trips per build,
     the r3 lsh_bucket finding), and the per-band pack is a slice+fold over
-    those bits, so the plane work is done once per vector, not per band."""
+    those bits, so the plane work is done once per vector, not per band.
+
+    ``use_numpy`` (r7): the SQL higher-order functions (zip_with/aggregate
+    lambdas) run INTERPRETED — they never enter whole-stage codegen — so
+    the hashing costs ~30 ns per multiply and grows with n·B·r·dim. The
+    Arrow pandas_udf path computes the same sign bits as ONE BLAS matmul
+    per batch (bucket parity with the SQL path verified exactly: 0
+    mismatches over a full corpus at r=18). At small n the Python-worker
+    round-trip dominates (measured 0.65-0.78 s vs 0.37-0.55 s SQL at
+    2 000 vectors), so callers gate it on corpus size — see
+    blocked_cosine_pairs' NUMPY_LSH_MIN_N. Same output schema and values
+    either way."""
     r, total = planes_per_band, LSH_BANDS * planes_per_band
+    if use_numpy:
+        import numpy as np
+        import pandas as pd
+
+        planes = np.array(
+            [hyperplane(p) for p in range(total)], dtype=np.float64
+        ).T  # dim × total, ~80 KB in the closure
+        pw = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
+
+        def _bb(emb):
+            X = np.stack(emb.to_numpy()).astype(np.float64)
+            bits = (X @ planes) >= 0
+            out = np.empty((len(X), LSH_BANDS), dtype=np.int64)
+            for b in range(LSH_BANDS):
+                out[:, b] = bits[:, b * r : (b + 1) * r].astype(np.int64) @ pw
+            return pd.Series(list(out))
+
+        # annotations set as real objects: the module's `from __future__
+        # import annotations` would stringify inline hints, and pandas is
+        # imported locally, so Spark's hint eval could not resolve them
+        _bb.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+        _band_buckets = F.pandas_udf(_bb, "array<long>")
+
+        return (
+            vectors.withColumn("_bks", _band_buckets(col))
+            .select("*", F.posexplode("_bks").alias("band", "bucket"))
+            .drop("_bks")
+        )
     planes_sql = "array({})".format(
         ", ".join(
             "array({})".format(", ".join(repr(c) for c in hyperplane(p)))
@@ -463,9 +510,14 @@ def blocked_cosine_pairs(
     r = max(8, math.ceil(math.log2(max(n, 2))) + 3)
     # persisted, never unpersisted: session-scoped cache discipline (see
     # dedup.py module docstring) — both sides of the blocked self-join
-    # read this frame.
+    # read this frame. Above NUMPY_LSH_MIN_N vectors the plane dots
+    # switch to the Arrow/BLAS path (banded_lsh_buckets docstring): at
+    # 100k+ vectors the interpreted-lambda hashing is the dominant cost
+    # and the matmul amortizes its Python-worker round-trip.
     emb = banded_lsh_buckets(
-        vectors.withColumn("_norm", norm(F.col("embedding"))), r
+        vectors.withColumn("_norm", norm(F.col("embedding"))),
+        r,
+        use_numpy=n >= NUMPY_LSH_MIN_N,
     ).persist()
     a = emb.select(
         F.col("vec_id").alias("vec_a"),

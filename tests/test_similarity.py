@@ -141,3 +141,21 @@ def test_banded_lsh_adapts_granularity_and_keeps_known_pairs(spark):
     }
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+def test_banded_lsh_numpy_path_bucket_parity(spark, sf_dir):
+    """The Arrow/BLAS matmul LSH path (deployed when the corpus exceeds
+    NUMPY_LSH_MIN_N) must assign exactly the same (vec_id, band, bucket)
+    as the SQL expression path — same hyperplanes, same sign convention,
+    same per-band bit packing. Exact-equality check over the full corpus
+    at a deployed-scale granularity (r=18)."""
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.similarity import banded_lsh_buckets
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sql_b = banded_lsh_buckets(emb, 18).select("vec_id", "band", "bucket")
+    np_b = banded_lsh_buckets(emb, 18, use_numpy=True).select(
+        "vec_id", "band", "bucket"
+    )
+    assert sql_b.exceptAll(np_b).count() == 0
+    assert np_b.exceptAll(sql_b).count() == 0
