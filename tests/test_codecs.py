@@ -322,3 +322,24 @@ def test_spark_image_decode_query(spark, sf_dir):
     au = multimodal_audio_stats(spark, sf_dir).collect()
     assert all(r["decode_ok_all"] for r in au)
     assert all(r["avg_rms"] > 0 for r in au)
+
+
+def test_gif_kwkwk_and_minimum_code_size_edges():
+    from omnidata_etl_spark.codecs import encode_gif
+
+    # long single-color runs force the KwKwK decode case (code == next
+    # table slot); alternating two-color pattern exercises the mcs=2
+    # minimum code width; GIF87a magic is accepted alongside 89a
+    run_heavy = np.zeros((3, 50, 3), dtype=np.uint8)
+    run_heavy[:, ::7] = [255, 0, 0]
+    assert np.array_equal(decode_image(encode_gif(run_heavy)), run_heavy)
+    solid = np.full((16, 16, 3), 42, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_gif(solid)), solid)
+    alt = np.indices((9, 33)).sum(axis=0) % 2
+    alt = np.stack([alt * 255, alt * 13, 255 - alt * 255], axis=2).astype(
+        np.uint8
+    )
+    assert np.array_equal(decode_image(encode_gif(alt)), alt)
+    raw = bytearray(encode_gif(solid))
+    raw[4:6] = b"7a"
+    assert np.array_equal(decode_image(bytes(raw)), solid)
