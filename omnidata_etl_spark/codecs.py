@@ -328,6 +328,10 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
             if code == eoi:
                 return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
             if prev is None:
+                if code >= len(table):
+                    raise ValueError(
+                        f"corrupt GIF LZW stream: first code {code}"
+                    )
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
