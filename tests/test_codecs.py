@@ -343,3 +343,25 @@ def test_gif_kwkwk_and_minimum_code_size_edges():
     raw = bytearray(encode_gif(solid))
     raw[4:6] = b"7a"
     assert np.array_equal(decode_image(bytes(raw)), solid)
+
+
+def test_gif_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from omnidata_etl_spark.codecs import encode_gif
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 24),
+        ncol=st.integers(1, 16),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def check(h, w, ncol, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        a = pal[rng.integers(0, ncol, size=(h, w))]
+        assert np.array_equal(decode_image(encode_gif(a)), a)
+
+    check()

@@ -447,3 +447,58 @@ def test_random_order_limit_differential_vs_duckdb(spark, sf_dir):
         a_rows = [r[0] for r in spark.sql(sql.format(t="o_lfuzz")).collect()]
         b_rows = [r[0] for r in con.execute(sql.format(t="orders")).fetchall()]
         assert a_rows == b_rows, f"case {i}: {sql}"
+
+
+def test_random_setop_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over the set-operation layer (r7, the 7th
+    layer): 12 seeded random (projection, predicate, operator) pairs of
+    customer/supplier key sets through UNION / UNION ALL / INTERSECT /
+    INTERSECT ALL / EXCEPT / EXCEPT ALL, compared as exact sorted rows.
+    ALL-variant multiplicities and NULL-equality semantics (set ops treat
+    NULLs as equal, unlike joins) are the divergence classes this layer
+    exists to catch."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    for t in ("customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    table(spark, sf_dir, "customer").createOrReplaceTempView("c_sfuzz")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("s_sfuzz")
+
+    rng = random.Random(0x5E70)
+    ops = [
+        "UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+        "EXCEPT", "EXCEPT ALL",
+    ]
+    for i in range(12):
+        op = rng.choice(ops)
+        # shared-domain projections so the set ops actually intersect
+        proj = rng.choice(
+            [
+                ("c_nationkey", "s_nationkey"),
+                ("c_nationkey % 7", "s_nationkey % 7"),
+                ("CAST(c_acctbal >= 0 AS INT)", "CAST(s_acctbal >= 0 AS INT)"),
+            ]
+        )
+        cbal = rng.randint(-500, 5000)
+        sbal = rng.randint(-500, 5000)
+        sql = (
+            f"SELECT {proj[0]} AS k FROM {{c}} WHERE c_acctbal >= {cbal} "
+            f"{op} "
+            f"SELECT {proj[1]} AS k FROM {{s}} WHERE s_acctbal >= {sbal}"
+        )
+        a = sorted(
+            tuple(r) for r in spark.sql(sql.format(c="c_sfuzz", s="s_sfuzz")).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.execute(sql.format(c="customer", s="supplier")).fetchall()
+        )
+        assert a == b, f"case {i}: {sql}"
