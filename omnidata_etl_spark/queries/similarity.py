@@ -639,8 +639,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the denominator is the number of copies WE planted — min(10, corpus
     # size), already known from the memoized count — not a quantity to
     # re-derive with a second sort-limit + crossJoin per execution (r7:
-    # shaved one TakeOrdered job and a join from every run).
-    n_planted = min(10, n_main)
+    # shaved one TakeOrdered job and a join from every run). max(1, ·)
+    # keeps the division defined on an empty corpus (recall 0/1 = 0.0
+    # instead of 0/0 = NaN).
+    n_planted = max(1, min(10, n_main))
     recall = (
         all_pairs.filter(F.col("vec_b") == F.col("vec_a") + _POFF)
         .agg(F.count(F.lit(1)).alias("n_found"))
