@@ -269,7 +269,25 @@ IVF_ITERS = 2
 IVF_TRAIN_SAMPLE = 4096  # quantizer-training sample rows (driver-side)
 
 
-def ivf_centroids(emb: "DataFrame"):
+def _train_sample(emb: "DataFrame"):
+    """The bounded deterministic training sample every quantizer in this
+    module trains on (first IVF_TRAIN_SAMPLE vectors by vec_id, one
+    driver-side collect): (N×dim float64 array, {vec_id: row} dict).
+    Callers composing several quantizers (ann_ivf_pq_topk) collect once
+    and pass the tuple through."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    x = np.asarray(rows["embedding"].tolist(), dtype=np.float64)
+    return x, dict(zip(rows["vec_id"].tolist(), x))
+
+
+def ivf_centroids(emb: "DataFrame", sample=None):
     """K-means centroids for an IVF coarse quantizer, trained on a bounded
     deterministic sample (first IVF_TRAIN_SAMPLE vectors by vec_id) on the
     driver with numpy.
@@ -283,17 +301,10 @@ def ivf_centroids(emb: "DataFrame"):
     Returns (K×dim centroid array, {vec_id: sample row} dict) — callers
     that also need specific low-vec_id vectors (e.g. the query vector) read
     them from the sample instead of issuing a second collect job.
+    ``sample``: a precollected _train_sample tuple (r7 — ann_ivf_pq_topk
+    trains coarse + PQ quantizers from ONE collect).
     """
-    import numpy as np
-
-    rows = (
-        emb.orderBy("vec_id")
-        .limit(IVF_TRAIN_SAMPLE)
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
-    x = np.asarray(rows["embedding"].tolist(), dtype=np.float64)
-    by_id = dict(zip(rows["vec_id"].tolist(), x))
+    x, by_id = sample if sample is not None else _train_sample(emb)
     cents = x[:IVF_CLUSTERS].copy()
     for _ in range(IVF_ITERS):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -397,24 +408,22 @@ PQ_CODEWORDS = 16  # 4-bit codes: a vector compresses to 8 nibbles
 PQ_ITERS = 10
 
 
-def pq_codebooks(emb: "DataFrame"):
+def pq_codebooks(emb: "DataFrame", sample=None, train_x=None):
     """Per-subspace k-means codebooks for product quantization, trained on
     the same bounded deterministic sample discipline as ivf_centroids
     (first IVF_TRAIN_SAMPLE vectors by vec_id, driver-side numpy — the
     100 TB corpus never participates in training). Deterministic init
     (first PQ_CODEWORDS sample rows per subspace), PQ_ITERS Lloyd steps,
     argmin ties to the lowest code. Returns (M×K×ds codebook array,
-    {vec_id: sample row} dict)."""
+    {vec_id: sample row} dict). ``sample``: precollected _train_sample
+    tuple; ``train_x``: train on THESE vectors instead of the sample rows
+    themselves (ann_ivf_pq_topk passes cell RESIDUALS — codebooks must
+    quantize what they will encode)."""
     import numpy as np
 
-    rows = (
-        emb.orderBy("vec_id")
-        .limit(IVF_TRAIN_SAMPLE)
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
-    x = np.asarray(rows["embedding"].tolist(), dtype=np.float64)
-    by_id = dict(zip(rows["vec_id"].tolist(), x))
+    x, by_id = sample if sample is not None else _train_sample(emb)
+    if train_x is not None:
+        x = np.asarray(train_x, dtype=np.float64)
     ds = x.shape[1] // PQ_SUBSPACES
     sub = x.reshape(len(x), PQ_SUBSPACES, ds)
     books = np.empty((PQ_SUBSPACES, PQ_CODEWORDS, ds))
@@ -510,6 +519,133 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = (
         coded.filter(F.col("vec_id") != 0)
         .select("vec_id", F.round(approx_d2, 4).alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(10)
+    )
+    qe_sql = "array({})".format(", ".join(repr(float(v)) for v in qv))
+    exact_d2 = F.expr(
+        f"aggregate(zip_with(cast(embedding AS array<double>), {qe_sql}, "
+        "(x, q) -> (x - q) * (x - q)), 0.0d, (acc, x) -> acc + x)"
+    )
+    brute = (
+        spread(emb)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", exact_d2.alias("b_d2"))
+        .orderBy(F.asc("b_d2"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("b_vec_id"))
+    )
+    return (
+        approx.join(brute, approx.vec_id == F.col("b_vec_id"), "left")
+        .select(
+            "vec_id",
+            "approx_d2",
+            F.col("b_vec_id").isNotNull().alias("in_brute_topk"),
+        )
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    )
+
+
+@query("ann_ivf_pq_topk", tags=("similarity", "ivf", "pq"))
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IndexIVFPQ composition — THE standard billion-
+    vector serving index): the coarse quantizer bounds the SCAN (only
+    NPROBE cells are read), product quantization bounds the MEMORY (each
+    vector stores as cid + 8 four-bit residual codes), and the query
+    runs ADC over codes inside the probed cells only. Residual encoding:
+    PQ codebooks are trained on (x − centroid(x)) and the per-cell ADC
+    tables are built from (q − centroid_cell) — residuals are what the
+    codes must reconstruct, and quantizing them instead of raw vectors
+    is what makes the composition beat either half alone. Rows-only
+    (both quantizers engine-derived).
+
+    Scale shape: ONE bounded driver collect trains both quantizers
+    (_train_sample); corpus encoding is one map-only Arrow pass emitting
+    [cid, code₀..code₇] per vector; the probed cells' ADC tables enter
+    the scan as one parsed NPROBE×M×K literal (512 doubles), indexed by
+    array_position(probe-list, cid) — so the per-row search cost inside
+    a probed cell is M lookups + adds and rows outside probed cells are
+    filtered before any distance work. In a served index the codes
+    column is written partitionBy(cid): the probe filter becomes
+    partition pruning and the scan touches NPROBE/K of the files.
+
+    Self-evidencing like the LSH/IVF/PQ siblings: ``in_brute_topk`` per
+    row vs the exact squared-L2 top-10; the clustered-data recovery
+    property is pinned in tests (ann_pq test pattern, residual form)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    sample = _train_sample(emb)
+    cents, by_id = ivf_centroids(emb, sample=sample)
+    xs = sample[0]
+    assign = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(
+        axis=1
+    )
+    residuals = xs - cents[assign]
+    books, _ = pq_codebooks(emb, sample=sample, train_x=residuals)
+    qv = by_id[0]
+    ds = len(qv) // PQ_SUBSPACES
+    probe = np.argsort(((cents - qv) ** 2).sum(axis=1), kind="stable")[
+        :IVF_NPROBE
+    ].tolist()
+    # per-probed-cell ADC tables from the query's RESIDUAL in that cell
+    adts = []
+    for cid in probe:
+        qr = (qv - cents[cid]).reshape(PQ_SUBSPACES, ds)
+        adts.append(((qr[:, None, :] - books) ** 2).sum(axis=2))
+
+    def _enc(s):
+        x = np.asarray(s.tolist(), dtype=np.float64)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = d2.argmin(axis=1)
+        r = (x - cents[cid]).reshape(-1, PQ_SUBSPACES, ds)
+        out = np.empty((len(x), 1 + PQ_SUBSPACES), dtype=np.int32)
+        out[:, 0] = cid
+        for m in range(PQ_SUBSPACES):
+            dm = ((r[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            out[:, m + 1] = dm.argmin(axis=1)
+        return pd.Series(list(out))
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    ivfpq_enc = F.pandas_udf(_enc, "array<int>")
+
+    adt_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(
+                ", ".join(
+                    "array({})".format(
+                        ", ".join(repr(float(v)) for v in adt[m])
+                    )
+                    for m in range(PQ_SUBSPACES)
+                )
+            )
+            for adt in adts
+        )
+    )
+    probe_sql = "array({})".format(", ".join(str(c) for c in probe))
+    coded = spread(emb).select(
+        "vec_id", "embedding", ivfpq_enc(F.col("embedding")).alias("cc")
+    )
+    # pos = 1-based index of this row's cell in the probe list (NULL →
+    # unprobed cell, filtered before any distance work)
+    approx = (
+        coded.withColumn(
+            "pos", F.expr(f"array_position({probe_sql}, cc[0])")
+        )
+        .filter((F.col("pos") > 0) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(transform(slice(cc, 2, "
+                    f"{PQ_SUBSPACES}), (c, m) -> element_at(element_at("
+                    f"element_at({adt_sql}, cast(pos AS INT)), m + 1), "
+                    "cast(c AS INT) + 1)), 0.0d, (acc, x) -> acc + x)"
+                ),
+                4,
+            ).alias("approx_d2"),
+        )
         .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
         .limit(10)
     )

@@ -224,3 +224,79 @@ def test_ann_pq_topk_structural(spark, sf_dir):
     assert d2s == sorted(d2s)
     assert all(isinstance(r.in_brute_topk, bool) for r in rows)
     assert any(r.in_brute_topk for r in rows)
+
+
+def test_ivf_pq_residual_composition_on_clusters(spark):
+    """IVF-PQ building-block property on separated clustered data: the
+    coarse quantizer recovers the clusters, the residual-trained PQ
+    codebooks quantize same-cluster residuals compatibly, and under the
+    composed probe+ADC search every same-cluster vector outranks every
+    other-cluster vector reachable in the probed cells, with the planted
+    near-duplicate of the query attaining the minimum ADC distance."""
+    import numpy as np
+
+    from omnidata_etl_spark.queries.similarity import (
+        IVF_NPROBE,
+        PQ_SUBSPACES,
+        _train_sample,
+        ivf_centroids,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(13)
+    protos = rng.normal(0, 1, (16, 64)) * 10
+    idx = rng.integers(0, 16, 256)
+    X = protos[idx] + rng.normal(0, 0.01, (256, 64))
+    idx[0] = 0
+    X[0] = protos[0]
+    idx[77] = 0
+    X[77] = protos[0] + 0.001
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(256)],
+        "vec_id long, embedding array<double>",
+    )
+    sample = _train_sample(df)
+    cents, by_id = ivf_centroids(df, sample=sample)
+    xs = sample[0]
+    assign = ((xs[:, None, :] - cents[None]) ** 2).sum(2).argmin(1)
+    books, _ = pq_codebooks(df, sample=sample, train_x=xs - cents[assign])
+
+    qv = by_id[0]
+    cellq = ((cents - qv) ** 2).sum(1)
+    probe = set(np.argsort(cellq, kind="stable")[:IVF_NPROBE].tolist())
+    cid = ((X[:, None, :] - cents[None]) ** 2).sum(2).argmin(1)
+    R = (X - cents[cid]).reshape(len(X), PQ_SUBSPACES, -1)
+    codes = np.stack(
+        [
+            ((R[:, m, None, :] - books[m][None]) ** 2).sum(-1).argmin(1)
+            for m in range(PQ_SUBSPACES)
+        ],
+        axis=1,
+    )
+    # ADC per vector from the query's residual in THAT vector's cell
+    d = np.full(len(X), np.inf)
+    for c in probe:
+        qr = (qv - cents[c]).reshape(PQ_SUBSPACES, -1)
+        adt = ((qr[:, None, :] - books) ** 2).sum(-1)
+        sel = cid == c
+        d[sel] = adt[
+            np.arange(PQ_SUBSPACES)[None, :], codes[sel]
+        ].sum(1)
+    same = idx == 0
+    assert d[0] < np.inf and same[0]  # query's own cell is probed
+    assert d[77] == d[1:].min()  # planted duplicate attains the min
+    reachable_other = (~same) & (d < np.inf)
+    if reachable_other.any():
+        assert d[same].max() < d[reachable_other].min()
+
+
+def test_ann_ivf_pq_topk_structural(spark, sf_dir):
+    """Declared-query pins: 10 rows ascending by approx_d2, recall flags
+    present and at least one true on the deterministic corpus."""
+    from omnidata_etl_spark.registry import all_specs
+
+    rows = all_specs()["ann_ivf_pq_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    d2s = [r.approx_d2 for r in rows]
+    assert d2s == sorted(d2s)
+    assert any(r.in_brute_topk for r in rows)
