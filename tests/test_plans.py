@@ -577,3 +577,17 @@ def test_q3_preagg_and_semi_reduction(spark, sf_dir):
     assert cust and set(re.findall(r"(\w+):", cust.group(1))) <= {
         "struct", "c_custkey", "c_mktsegment",
     }, "customer side is not a key-only projection (+ filter column)"
+
+
+def test_ann_pq_plans_take_ordered_no_extra_exchange(spark, sf_dir):
+    """The PQ/IVF-PQ ADC scans must plan as: scan → (Arrow eval) encode →
+    filter/project → TakeOrderedAndProject — top-k never a global Sort,
+    and the probe filter sits below the distance projection so unprobed
+    rows do no distance work (visible as Filter before the ADC project
+    in the IVF-PQ plan)."""
+    for name in ("ann_pq_topk", "ann_ivf_pq_topk"):
+        plan = _plan(spark, sf_dir, name)
+        tree = plan.split("\n\n", 1)[0]
+        assert "TakeOrderedAndProject" in tree, name
+        assert "ArrowEvalPython" in tree or "BatchEvalPython" in tree, name
+        assert "CartesianProduct" not in tree, name
