@@ -502,3 +502,62 @@ def test_random_setop_differential_vs_duckdb(spark, sf_dir):
             for r in con.execute(sql.format(c="customer", s="supplier")).fetchall()
         )
         assert a == b, f"case {i}: {sql}"
+
+
+def test_random_grouping_sets_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over the multi-dimensional aggregation layer
+    (r7, the 8th layer): 10 seeded random ROLLUP / CUBE / GROUPING SETS
+    shapes over orders dimensions, with a random predicate and exact
+    cent-sums. Super-aggregate NULL markers and grouping-set membership
+    are the divergence classes the plain groupBy fuzz can't reach."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("o_gfuzz")
+
+    rng = random.Random(0x6561)
+    dims = ["o_orderstatus", "o_orderpriority", "CAST(year(o_orderdate) AS INT)"]
+    for i in range(10):
+        k = rng.randint(1, 3)
+        cols = rng.sample(dims, k)
+        shape = rng.choice(["ROLLUP", "CUBE", "SETS"])
+        if shape == "SETS":
+            # random subset family; the full set always participates so
+            # every selected dim is a grouping column (SQL requirement)
+            subsets = [
+                "(" + ", ".join(c for c in cols if rng.random() < 0.6) + ")"
+                for _ in range(rng.randint(1, 3))
+            ] + ["(" + ", ".join(cols) + ")", "()"]
+            grouping = f"GROUPING SETS ({', '.join(subsets)})"
+        else:
+            grouping = f"{shape}({', '.join(cols)})"
+        cut = rng.randint(1000, 200000)
+        sel = ", ".join(f"{c} AS d{j}" for j, c in enumerate(cols))
+        sql = (
+            f"SELECT {sel}, COUNT(*) AS n, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM {t} WHERE o_totalprice < " + str(cut) + " "
+            f"GROUP BY {grouping}"
+        )
+
+        def nkey(t):
+            # super-aggregate rows carry NULL dims: sort None-first
+            return tuple((v is not None, v) for v in t)
+
+        a = sorted(
+            (tuple(r) for r in spark.sql(sql.format(t="o_gfuzz")).collect()),
+            key=nkey,
+        )
+        b = sorted(
+            (tuple(r) for r in con.execute(sql.format(t="orders")).fetchall()),
+            key=nkey,
+        )
+        assert a == b, f"case {i}: {sql}"
