@@ -201,9 +201,14 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     minutes of executor CPU on a megapixel Paeth asset."""
     rows = raw.reshape(h, 1 + stride)
     ftypes, data = rows[:, 0], rows[:, 1:]
-    if np.isin(ftypes, (3, 4)).any() and raw.nbytes > _PNG_SLOW_FILTER_CEILING:
+    # Ceiling keys on the bytes the Python left-scan actually touches —
+    # rows filtered Average/Paeth — so a mostly None/Up/Sub image with a
+    # stray Paeth row still decodes (r7 ADVICE; previously keyed on total
+    # raw.nbytes, which rejected decodable assets).
+    slow_bytes = int(np.isin(ftypes, (3, 4)).sum()) * stride
+    if slow_bytes > _PNG_SLOW_FILTER_CEILING:
         raise NotImplementedError(
-            f"PNG uses Average/Paeth filters over {raw.nbytes} bytes; the "
+            f"PNG uses Average/Paeth filters over {slow_bytes} bytes; the "
             "pure-Python left-scan would take minutes — re-encode with "
             "filter 0/Sub/Up or add a C-backed codec for assets this size"
         )
@@ -450,47 +455,58 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
         gct = gct.reshape(-1, 3)
         pos += 3 * n
-    while pos < len(payload):
-        block = payload[pos]
-        pos += 1
-        if block == 0x3B:  # trailer
-            break
-        if block == 0x21:  # extension: label + sub-blocks
+    # The block walk indexes raw bytes; a GIF truncated mid-extension,
+    # mid-descriptor, or mid-data-sub-block would surface IndexError from
+    # an executor UDF — map it onto the codec's documented ValueError
+    # contract (r7 ADVICE).
+    try:
+        while pos < len(payload):
+            block = payload[pos]
             pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{block:02x}")
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+            ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+            ipacked = payload[pos + 8]
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("truncated GIF local color table")
+                ct = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
             while payload[pos]:
-                pos += 1 + payload[pos]
-            pos += 1
-            continue
-        if block != 0x2C:
-            raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
-        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
-        ipacked = payload[pos + 8]
-        pos += 9
-        ct = gct
-        if ipacked & 0x80:
-            n = 2 << (ipacked & 0x07)
-            ct = np.frombuffer(
-                payload[pos : pos + 3 * n], dtype=np.uint8
-            ).reshape(-1, 3)
-            pos += 3 * n
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
-        if ct is None:
-            raise ValueError("GIF image without a color table")
-        mcs = payload[pos]
-        pos += 1
-        chunks = []
-        while payload[pos]:
-            n = payload[pos]
-            chunks.append(payload[pos + 1 : pos + 1 + n])
-            pos += 1 + n
-        idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
-        if len(idx) < iw * ih:
-            raise ValueError("GIF pixel data truncated")
-        if idx.max(initial=0) >= len(ct):
-            raise ValueError("GIF index outside color table")
-        return np.ascontiguousarray(ct[idx.reshape(ih, iw)])
+                n = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            if idx.max(initial=0) >= len(ct):
+                raise ValueError("GIF index outside color table")
+            return np.ascontiguousarray(ct[idx.reshape(ih, iw)])
+    except IndexError:
+        raise ValueError("truncated GIF") from None
     raise ValueError("GIF contains no image block")
 
 

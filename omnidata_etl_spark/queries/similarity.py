@@ -697,8 +697,12 @@ def banded_lsh_buckets(
     mismatches over a full corpus at r=18). At small n the Python-worker
     round-trip dominates (measured 0.65-0.78 s vs 0.37-0.55 s SQL at
     2 000 vectors), so callers gate it on corpus size — see
-    blocked_cosine_pairs' NUMPY_LSH_MIN_N. Same output schema and values
-    either way."""
+    blocked_cosine_pairs' NUMPY_LSH_MIN_N. Same output schema either way;
+    bucket parity is verified empirically (0 mismatches over a full corpus
+    at r=18) but not guaranteed bit-for-bit — the matmul and the SQL
+    left-fold sum in different orders, so a plane dot product within a few
+    ULPs of zero could flip a sign bit and bucket differently
+    (recall-neutral: candidate verification recomputes exact cosine)."""
     r, total = planes_per_band, LSH_BANDS * planes_per_band
     if use_numpy:
         import numpy as np
@@ -832,6 +836,29 @@ def blocked_cosine_pairs(
     )
 
 
+def _parquet_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap (mtime_ns, size) fingerprint of a catalog parquet path —
+    one or a handful of stat() calls, no data read. Folded into the
+    _corpus_count cache key so a regenerated table invalidates the
+    memoized count instead of silently pinning stale values (r7 ADVICE —
+    the same staleness class the r7 TF-IDF change removed)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = []
+            for root, _, files in os.walk(path):
+                for p in files:
+                    s = os.stat(os.path.join(root, p))
+                    parts.append((p, s.st_mtime_ns, s.st_size))
+            return tuple(sorted(parts))
+        s = os.stat(path)
+        return (s.st_mtime_ns, s.st_size)
+    except OSError:
+        return ()
+
+
 def _corpus_count(spark: SparkSession, sf_dir: str, name: str = "embeddings") -> int:
     """Memoized table row count per (session, sf_dir, table).
 
@@ -840,12 +867,15 @@ def _corpus_count(spark: SparkSession, sf_dir: str, name: str = "embeddings") ->
     build in the session — the r6 verdict flagged the per-build count on
     the suite's slowest query. Keyed on the session object itself (the
     catalog.table handle-cache discipline: the cache's lifetime IS the
-    session's, and sf_dir keys keep scale factors apart)."""
+    session's, and sf_dir keys keep scale factors apart) PLUS a cheap
+    mtime/size fingerprint of the parquet path, so regenerating the data
+    mid-session invalidates the count instead of silently pinning a stale
+    adaptive-LSH r / recall denominator (r7 ADVICE)."""
     cache = getattr(spark, "_omnidata_count_cache", None)
     if cache is None:
         cache = {}
         spark._omnidata_count_cache = cache
-    key = (sf_dir, name)
+    key = (sf_dir, name, _parquet_fingerprint(sf_dir, name))
     n = cache.get(key)
     if n is None:
         n = table(spark, sf_dir, name).count()

@@ -834,20 +834,25 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     see ~|distinct (order, nation)| rows instead of per-line rows
     (measured 0.57→0.52 s prepared at sf0.1; the win widens with
     lines-per-order at scale). Orders projects (o_orderkey, o_year)
-    below the join for the same narrow-sort reason."""
+    below the join for the same narrow-sort reason.
+
+    Join strategy for the orders join is UNHINTED (r8): the r4 merge
+    hint predates the pre-agg — back then the probe side was per-line
+    rows and a forced orders broadcast measured 1071 ms vs hinted SMJ
+    608 ms. With the probe reduced to ~|distinct (order, nation)| rows
+    the trade flips at local scale (driver-regime A/B: no-hint 259-326 ms
+    vs merge 335 ms vs static broadcast 282-334 ms), and leaving the
+    choice to the optimizer is also the correct cluster form: at 100 TB
+    orders' stats keep the join sort-merge on the l_orderkey partitioning
+    the repartition already established, while at bench scale the small
+    projected orders side rides a broadcast. Confirmed by the r8 ×10
+    probe: growth 1.0× with the plan flipping exactly as designed."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
-    # merge hint: unreduced orders joined to the part-pruned lineitem is
-    # fact-fact; the r4 ×10 probe measured the estimate-driven orders
-    # broadcast at 1071ms vs hinted SMJ 608ms.
-    o = (
-        table(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
-        )
-        .hint("merge")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
     )
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("nation")
@@ -908,11 +913,21 @@ def tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at any SF — and the persist makes the fact join+agg run once
     for both consumers: measured 0.77 s unpersisted (the totals branch
     re-ran the whole join; ReuseExchange does not fire across the
-    broadcast boundary) vs 0.45 s persisted fresh-session / 0.40 s
-    prepared at sf0.1 — vs 0.23 s for the traded-away window form, the
-    accepted price of bounded exchanges. Session-scoped cache discipline
-    per dedup.py — Spark's CacheManager dedupes repeat builds by
-    canonicalized plan). The threshold comparison is exact:
+    broadcast boundary) vs 0.45 s persisted fresh-session at sf0.1 — vs
+    0.23 s for the traded-away window form, the accepted price of
+    bounded exchanges. Session-scoped cache discipline per dedup.py —
+    Spark's CacheManager dedupes repeat builds by canonicalized plan).
+    Driver-protocol wall (r8 reconciliation of the r7 0.24 s claim,
+    which came from a favorable builder run): ~0.35 s — an interleaved
+    same-session A/B of four forms (this one; no-persist broadcast
+    totals; totals straight off the fact with count_distinct; rollup)
+    measured 341-428 ms with THIS form mid-pack, so the wall is the
+    three sequential barriers (dim broadcast → totals broadcast over the
+    v build → probe re-build of v under the bench's clearCache), not the
+    cache choice; a 1-row driver collect of the totals would cut one
+    barrier but silently exempt the totals job from prepared re-timing
+    (the dishonesty NO_PREPARE exists to prevent), so it stays
+    declarative. The threshold comparison is exact:
     int64 unit sums promoted to DECIMAL(38,0) before the cross-multiply
     (the product can overflow int64 at the 100 TB design point; DECIMAL
     keeps it exact and ANSI-safe), mirroring the oracle's exact DECIMAL

@@ -220,6 +220,32 @@ def test_gif_spec_framing():
         encode_gif(rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8))
 
 
+def test_gif_every_truncation_prefix_raises_valueerror():
+    from omnidata_etl_spark.codecs import encode_gif
+
+    # r8 (r7 ADVICE): truncation at ANY byte boundary — mid-extension,
+    # mid-descriptor, mid-color-table, mid-data-sub-block — must surface
+    # the codec's documented ValueError (or the header-magic check), never
+    # a raw IndexError from an executor UDF
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    pal = np.unique(pal, axis=0)
+    a = pal[rng.integers(0, len(pal), size=(9, 11))]
+    raw = encode_gif(a)
+    # splice in an extension so prefixes also land mid-extension
+    gct_end = 13 + 3 * 8  # header + 8-entry (mcs=3) global color table
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    raw = raw[:gct_end] + ext + raw[gct_end:]
+    assert np.array_equal(decode_image(raw), a)
+    # len(raw)-1 drops only the 0x3B trailer: the image block is complete,
+    # so the decoder legitimately returns the full image — every shorter
+    # prefix must raise ValueError
+    assert np.array_equal(decode_image(raw[:-1]), a)
+    for cut in range(2, len(raw) - 1):
+        with pytest.raises(ValueError):
+            decode_image(raw[:cut])
+
+
 def test_png_sub_filter_vectorized_lane_sum():
     # Sub rows now reconstruct via per-lane cumsum — prove exactness on a
     # wide row where wraparound (mod 256) occurs many times per lane
@@ -245,12 +271,31 @@ def test_png_paeth_size_ceiling():
     # all-zero scanlines compress to a few KB so the fixture stays cheap
     w = 21
     stride = w * 3  # 64-byte rows incl. the filter byte
-    h = codecs._PNG_SLOW_FILTER_CEILING // (1 + stride) + 2
+    h = codecs._PNG_SLOW_FILTER_CEILING // stride + 2
     line = bytes([4]) + bytes(stride)
     big = _make_png((w, h, 8, 2, 0, 0, 0), [line] * h)
-    assert h * (1 + stride) > codecs._PNG_SLOW_FILTER_CEILING
+    assert h * stride > codecs._PNG_SLOW_FILTER_CEILING
     with pytest.raises(NotImplementedError):
         decode_image(big)
+
+
+def test_png_paeth_ceiling_counts_slow_rows_only():
+    from omnidata_etl_spark import codecs
+
+    # r8 (r7 ADVICE): the ceiling keys on Average/Paeth-row bytes only, so
+    # an image whose TOTAL size exceeds the ceiling but is almost entirely
+    # Up-filtered with a single Paeth row still decodes (one row of Python
+    # left-scan is milliseconds, not minutes)
+    w = 341
+    stride = w * 3
+    h = codecs._PNG_SLOW_FILTER_CEILING // stride + 4
+    assert h * (1 + stride) > codecs._PNG_SLOW_FILTER_CEILING
+    lines = [bytes([2]) + bytes(stride) for _ in range(h)]
+    lines[h // 2] = bytes([4]) + bytes(stride)
+    big = _make_png((w, h, 8, 2, 0, 0, 0), lines)
+    out = decode_image(big)
+    assert out.shape == (h, w, 3)
+    assert not out.any()  # zero data under Up/Paeth reconstructs to zeros
 
 
 def test_png_resize_path():
