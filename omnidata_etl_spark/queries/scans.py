@@ -38,40 +38,108 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "nation")
 
 
-@query("ingest_csv", tags=("scan", "ingest"))
+# Ingest oracles (r8, verdict #7): DuckDB reads the SAME fixture files, so
+# header sniffing, all-text typing, cell trimming, and empty→NULL get a real
+# value-level differential instead of a rows-only count. Fixture paths are
+# embedded at import (fixture_path materializes the deterministic files, a
+# few KB under /tmp — no Spark job runs at import).
+_CSV_FIXTURE = fixture_path("people_comma.csv")
+_TSV_FIXTURE = fixture_path("people_tab.tsv")
+_MD_FIXTURE = fixture_path("people_pipe.md")
+_JSONL_FIXTURE = fixture_path("people.jsonl")
+
+
+@query(
+    "ingest_csv",
+    oracle=f"""
+        SELECT * FROM read_csv('{_CSV_FIXTURE}',
+                               header=true, all_varchar=true, delim=',')
+    """,
+    tags=("scan", "ingest"),
+)
 def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Comma-CSV ingest with header inference + delimiter sniffing (R1).
 
     Reference: default-delimiter path /root/reference backend/index.js:109,
-    header from line 1 at :111. Rows-only check (fixture, not in sf_dir).
+    header from line 1 at :111. Oracle-checked since r8: DuckDB read_csv
+    over the same fixture, all_varchar mirroring the text-by-default load.
     """
     return read_any(spark, fixture_path("people_comma.csv"))
 
 
-@query("ingest_tsv", tags=("scan", "ingest"))
+@query(
+    "ingest_tsv",
+    oracle=f"""
+        SELECT * FROM read_csv('{_TSV_FIXTURE}',
+                               header=true, all_varchar=true, delim='\\t')
+    """,
+    tags=("scan", "ingest"),
+)
 def ingest_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tab-separated ingest; tab sniffing takes precedence (R1).
 
-    Reference: /root/reference backend/index.js:107-108.
+    Reference: /root/reference backend/index.js:107-108. Oracle-checked
+    since r8 (DuckDB read_csv, tab delim).
     """
     return read_any(spark, fixture_path("people_tab.tsv"))
 
 
-@query("ingest_pipe_markdown", tags=("scan", "ingest"))
+@query(
+    "ingest_pipe_markdown",
+    oracle=f"""
+        WITH raw AS (
+            SELECT * FROM read_csv('{_MD_FIXTURE}',
+                header=false, all_varchar=true, delim='|', skip=2,
+                columns={{'edge0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
+                          'c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR',
+                          'c6':'VARCHAR','edge7':'VARCHAR'}})
+        )
+        SELECT trim(c1) AS person_id, trim(c2) AS full_name,
+               trim(c3) AS balance, trim(c4) AS signup_ts,
+               trim(c5) AS active, trim(c6) AS notes
+        FROM raw
+    """,
+    tags=("scan", "ingest"),
+)
 def ingest_pipe_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GitHub markdown table ingest: `---` row skipped, pipes stripped (R2).
 
     Reference: pipe sniffing backend/index.js:109, `---` skip :114/:219,
-    pipe strip :111/:221.
-    """
+    pipe strip :111/:221. Oracle-checked since r8: DuckDB parses the same
+    .md as edge-piped CSV (skip=2 drops header+separator rows; the edge
+    pipes become empty edge columns the projection discards; trim mirrors
+    the cell cleaning). The oracle pins the fixture's header names — the
+    Spark side derives them from the file; parity on the names IS part of
+    the check."""
     return read_any(spark, fixture_path("people_pipe.md"))
 
 
-@query("ingest_json", tags=("scan", "ingest"))
+@query(
+    "ingest_json",
+    oracle=f"""
+        SELECT active, balance, full_name,
+               CASE WHEN json_type(notes) = 'VARCHAR' THEN notes ->> '$'
+                    -- Spark keeps the RAW object text for the
+                    -- conflicting-type column; DuckDB compacts JSON, so
+                    -- restore the fixture's ", "/": " spacing (safe here:
+                    -- no string value contains ':' or ',')
+                    ELSE replace(replace(CAST(notes AS VARCHAR),
+                                         '":', '": '), ',"', ', "')
+               END AS notes,
+               person_id,
+               strftime(signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        FROM read_json('{_JSONL_FIXTURE}')
+    """,
+    tags=("scan", "ingest"),
+)
 def ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-delimited JSON ingest — fixes the reference's accept/parse gap
     (frontend/src/App.jsx:172 accepts .json; backend/index.js:97 has no JSON
-    branch, so JSON parsed as delimiter-text garbage)."""
+    branch, so JSON parsed as delimiter-text garbage). Oracle-checked since
+    r8: DuckDB read_json over the same file; the oracle unwraps plain-string
+    JSON cells and formats timestamps to match Spark's string-typed column
+    (Spark infers `string` for the mixed object/string `notes` field and
+    keeps `signup_ts` textual; DuckDB types them JSON/TIMESTAMP)."""
     return read_any(spark, fixture_path("people.jsonl"))
 
 

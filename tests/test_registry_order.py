@@ -44,14 +44,31 @@ def test_first_50_slots_are_oracle_checked_2b():
         assert specs[name].oracle is not None, f"{name} lost its oracle"
 
 
-def test_rows_only_2b_keys_in_slots_51_58():
+# r8: the four ingest keys in slots 51-54 were PROMOTED to oracle-checked
+# (DuckDB read_csv/read_json over the same fixtures — VERDICT r7 #7). They
+# stay in slots 51-58 so the driver's 50-slot adjudication window is
+# untouched; the promotion shows up in CORRECTNESS_LOCAL instead.
+_PROMOTED_51_58 = {
+    "ingest_csv",
+    "ingest_tsv",
+    "ingest_pipe_markdown",
+    "ingest_json",
+}
+
+
+def test_2b_keys_in_slots_51_58():
     specs = all_specs()
     tail_8 = list(specs)[50:58]
     assert tail_8 == list(_PRIORITY[50:58])
     for name in tail_8:
-        assert specs[name].oracle is None, (
-            f"{name} gained an oracle — move it into the first-50 block"
-        )
+        if name in _PROMOTED_51_58:
+            assert specs[name].oracle is not None, (
+                f"{name} lost its r8 ingest oracle"
+            )
+        else:
+            assert specs[name].oracle is None, (
+                f"{name} gained an oracle — move it into the first-50 block"
+            )
 
 
 def test_oracle_checked_queries_precede_rows_only_after_priority():
