@@ -561,3 +561,126 @@ def test_random_grouping_sets_differential_vs_duckdb(spark, sf_dir):
             key=nkey,
         )
         assert a == b, f"case {i}: {sql}"
+
+
+def test_random_window_frame_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over window FRAME semantics (r8, the 9th layer):
+    10 seeded random sliding-frame specs — ROWS BETWEEN k PRECEDING AND
+    m FOLLOWING cent-sums, LAG/LEAD with literal defaults, FIRST_VALUE —
+    over a totally-ordered lineitem slice. The r7 window layer only
+    exercised the running (UNBOUNDED..CURRENT) frame; bounded sliding
+    frames and offset functions are a distinct divergence surface
+    (frame-edge clamping, default substitution at partition edges)."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_ffuzz")
+
+    rng = random.Random(0xF8A3E)
+    for i in range(10):
+        part = rng.choice(["l_returnflag", "l_linestatus"])
+        prec, foll = rng.randint(0, 4), rng.randint(0, 4)
+        off = rng.randint(1, 3)
+        dflt = rng.randint(-9, 9)
+        qcap = rng.randint(3, 10)
+        cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        # (l_orderkey, l_linenumber) is NOT unique in the testdata (232
+        # duplicate pairs at sf0.01) — cents as the last key makes the
+        # order total up to rows indistinguishable in the output, so the
+        # sorted-tuple comparison is tie-proof
+        order = f"l_orderkey, l_linenumber, {cents}"
+        fn = rng.choice(["LAG", "LEAD"])
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, "
+            f"SUM({cents}) OVER (PARTITION BY {part} ORDER BY {order} "
+            f"ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING) AS sl, "
+            f"{fn}({cents}, {off}, {dflt}) OVER "
+            f"(PARTITION BY {part} ORDER BY {order}) AS ofs, "
+            f"FIRST_VALUE({cents}) OVER (PARTITION BY {part} "
+            f"ORDER BY {order} ROWS BETWEEN {prec} PRECEDING AND "
+            f"CURRENT ROW) AS fv "
+            f"FROM {{t}} WHERE l_quantity <= {qcap}"
+        )
+        a = sorted(
+            tuple(r) for r in spark.sql(sql.format(t="li_ffuzz")).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.execute(sql.format(t="lineitem")).fetchall()
+        )
+        assert a == b, f"case {i}: {sql}"
+
+
+def test_random_subquery_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over the subquery layer (r8, the 10th layer):
+    10 seeded random correlated/uncorrelated EXISTS / NOT EXISTS / IN /
+    scalar-subquery predicates between orders and lineitem, compared as
+    exact grouped counts + cent-sums. Decorrelation (Spark rewrites these
+    to joins) is the divergence surface — especially NOT EXISTS with a
+    correlated inequality, the anti-join-with-condition class. Keys in
+    the testdata are non-NULL, so IN keeps two-valued logic (the
+    NULL-poisoned NOT IN class has its own declared query)."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("o_qfuzz")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_qfuzz")
+
+    rng = random.Random(0x5AB9)
+    for i in range(10):
+        qty = rng.randint(10, 45)
+        cut = rng.randint(1000, 150000)
+        shape = rng.choice(["EXISTS", "NOT EXISTS", "IN", "SCALAR"])
+        if shape in ("EXISTS", "NOT EXISTS"):
+            pred = (
+                f"{shape} (SELECT 1 FROM {{li}} l "
+                f"WHERE l.l_orderkey = o.o_orderkey "
+                f"AND l.l_quantity > {qty})"
+            )
+        elif shape == "IN":
+            pred = (
+                f"o.o_orderkey IN (SELECT l_orderkey FROM {{li}} "
+                f"WHERE l_quantity > {qty})"
+            )
+        else:
+            # correlated scalar aggregate compared to a literal; COALESCE
+            # pins the empty-group NULL the same way in both engines
+            pred = (
+                f"COALESCE((SELECT MAX(l.l_linenumber) FROM {{li}} l "
+                f"WHERE l.l_orderkey = o.o_orderkey), 0) >= {rng.randint(1, 5)}"
+            )
+        sql = (
+            "SELECT o.o_orderstatus AS st, COUNT(*) AS n, "
+            "SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM {o} o "
+            f"WHERE o.o_totalprice < {cut} AND {pred} "
+            "GROUP BY o.o_orderstatus"
+        )
+        a = sorted(
+            tuple(r)
+            for r in spark.sql(sql.format(o="o_qfuzz", li="li_qfuzz")).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql.format(o="orders", li="lineitem")
+            ).fetchall()
+        )
+        assert a == b, f"case {i}: {sql}"
