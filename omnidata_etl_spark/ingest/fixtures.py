@@ -141,3 +141,21 @@ def fixture_path(name: str) -> str:
             f.write(FIXTURES[name])
         os.replace(tmp, path)
     return path
+
+
+def fixture_gz_path(name: str) -> str:
+    """Materialize (once) `<name>.gz` at a deterministic path — byte-stable
+    (gzip mtime pinned to 0) so both the Spark reader and a DuckDB oracle
+    can reference the same compressed file (r8: promotes ingest_csv_gzip
+    from rows-only to oracle-checked)."""
+    import gzip
+
+    src = fixture_path(name)
+    path = src + ".gz"
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        with open(src, "rb") as fin, open(tmp, "wb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as fout:
+                fout.write(fin.read())
+        os.replace(tmp, path)
+    return path

@@ -49,6 +49,49 @@ _MD_FIXTURE = fixture_path("people_pipe.md")
 _JSONL_FIXTURE = fixture_path("people.jsonl")
 
 
+def _gz_fixture() -> str:
+    from omnidata_etl_spark.ingest.fixtures import fixture_gz_path
+
+    return fixture_gz_path("people_comma.csv")
+
+
+_GZ_FIXTURE = _gz_fixture()
+
+
+def _people_values_sql(typed: bool) -> str:
+    """Pinned-constant oracle for formats DuckDB cannot parse (xlsx, xml):
+    the fixture IS an embedded constant (ingest/fixtures.py:_ROWS), so a
+    VALUES literal of that constant is ground truth — this pins parser
+    output == authored data, a weaker but real value-level check vs the
+    independent-parser differentials above. `typed` mirrors Spark-XML's
+    type inference (bool/double/bigint/timestamp); untyped mirrors the
+    all-text xlsx load."""
+    from omnidata_etl_spark.ingest.fixtures import _ROWS
+
+    rows = []
+    for r in _ROWS:
+        pid, name, bal, ts, act, notes = r
+        if typed:
+            rows.append(
+                f"({act}, CAST({bal} AS DOUBLE), '{name}', '{notes}', "
+                f"CAST({pid} AS BIGINT), TIMESTAMP '{ts}')"
+            )
+        else:
+            rows.append(
+                f"('{pid}', '{name}', '{bal}', '{ts}', '{act}', '{notes}')"
+            )
+    cols = (
+        "(active, balance, full_name, notes, person_id, signup_ts)"
+        if typed
+        else "(person_id, full_name, balance, signup_ts, active, notes)"
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + f") AS t{cols}"
+    )
+
+
 @query(
     "ingest_csv",
     oracle=f"""
@@ -143,23 +186,32 @@ def ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_any(spark, fixture_path("people.jsonl"))
 
 
-@query("ingest_xml", tags=("scan", "ingest"))
+@query("ingest_xml", oracle=_people_values_sql(typed=True), tags=("scan", "ingest"))
 def ingest_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingest via Spark 4's built-in XML source (rowTag dispatch) —
     extends the reference's format-dispatch upload (R1, backend/
     index.js:88-97) to the remaining common exchange format with no
     external jar; nested elements stringify like JSON objects (R11).
-    Rows-only (DuckDB has no XML reader); row parity with the CSV twin is
-    pinned in tests/test_ingest.py."""
+    DuckDB has no XML reader, so the r8 oracle is the PINNED-CONSTANT
+    form (_people_values_sql: the embedded fixture as typed VALUES —
+    parser output == authored truth, including Spark-XML's
+    bool/double/bigint/timestamp inference); row parity with the CSV twin
+    is additionally pinned in tests/test_ingest.py."""
     return read_any(spark, fixture_path("people.xml"))
 
 
-@query("ingest_xlsx", tags=("scan", "ingest"))
+@query(
+    "ingest_xlsx",
+    oracle=_people_values_sql(typed=False),
+    tags=("scan", "ingest"),
+)
 def ingest_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Excel first-sheet ingest (R3): reference reads sheet 0 with
     `sheet_to_json` (/root/reference backend/index.js:93-96). Uses the
-    dependency-free xlsx reader when no openpyxl exists. Rows-only; the
-    fixture workbook is generated by ingest/xlsx.py's minimal writer."""
+    dependency-free xlsx reader when no openpyxl exists. DuckDB has no
+    xlsx reader, so the r8 oracle is the pinned-constant VALUES form
+    (all-text, mirroring the text-by-default load); the fixture workbook
+    is generated by ingest/xlsx.py's minimal writer."""
     import os
 
     from omnidata_etl_spark.ingest.fixtures import (
@@ -327,23 +379,28 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ingest_csv_gzip", tags=("scan", "ingest"))
+@query(
+    "ingest_csv_gzip",
+    oracle=f"""
+        SELECT * FROM read_csv('{_GZ_FIXTURE}',
+                               header=true, all_varchar=true, delim=',')
+    """,
+    tags=("scan", "ingest"),
+)
 def ingest_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-text ingest: the people CSV gzipped and read back through
     the same sniffing reader path — codec handling is transparent in the
     scan (Spark decompresses per file). The 100 TB caveat this query
     documents: gzip is NOT splittable, so one .csv.gz = one task — large
     compressed drops must arrive pre-sharded (or as zstd/bgzf parquet);
-    a single 100 GB .gz would serialize the whole read."""
-    import gzip
-    import shutil
+    a single 100 GB .gz would serialize the whole read. Oracle-checked
+    since r8: the gz is staged at a deterministic byte-stable path
+    (mtime=0) and DuckDB read_csv decompresses the SAME file — the sniff
+    path (first-line read through the codec) and the decompressed values
+    both get a real differential."""
+    from omnidata_etl_spark.ingest.fixtures import fixture_gz_path
 
-    src = fixture_path("people_comma.csv")
-    out_dir = tempfile.mkdtemp(prefix="omnidata_gz_")
-    gz = f"{out_dir}/people_comma.csv.gz"
-    with open(src, "rb") as fin, gzip.open(gz, "wb") as fout:
-        shutil.copyfileobj(fin, fout)
-    return read_any(spark, gz)
+    return read_any(spark, fixture_gz_path("people_comma.csv"))
 
 
 @query("sink_dynamic_partition_overwrite", tags=("sink", "etl"))
