@@ -72,6 +72,26 @@ SKIP = {
     "ingest_schema_evolution",
 }
 
+# Fixture-scale ingest demos: timed in the Spark loop as always, but their
+# r8 oracles exist for CORRECTNESS differentials (header sniffing,
+# empty→NULL, codec paths vs DuckDB's parsers / the pinned fixture truth) —
+# not as performance baselines. They read a 6-row /tmp fixture regardless
+# of SF, so BASELINE.md's ≤2×-DuckDB-at-sf0.1 bar does not apply: the pair
+# compares Spark's whole ingest machinery against a sub-millisecond 6-row
+# parse (ingest_xlsx's VALUES oracle doesn't even touch a file) and the
+# "ratio" would only ever measure the engine floor. BENCH_DETAIL carries
+# duckdb_sec + ratio_note for transparency; `ratio` is omitted so the
+# sf-scaled ratio statistics stay meaningful.
+RATIO_EXCLUDE = {
+    "ingest_csv": "fixture-scale ingest demo (6-row file, not sf-scaled)",
+    "ingest_tsv": "fixture-scale ingest demo (6-row file, not sf-scaled)",
+    "ingest_pipe_markdown": "fixture-scale ingest demo (6-row file, not sf-scaled)",
+    "ingest_json": "fixture-scale ingest demo (6-row file, not sf-scaled)",
+    "ingest_csv_gzip": "fixture-scale ingest demo (6-row file, not sf-scaled)",
+    "ingest_xlsx": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
+    "ingest_xml": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
+}
+
 
 def _sf_label(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -236,9 +256,12 @@ def main() -> None:
                 except Exception as e:  # oracle flake must not kill the bench
                     detail[name]["duckdb_error"] = f"{type(e).__name__}: {e}"[:200]
                     continue
-                detail[name].update(
-                    duckdb_sec=round(duck, 4),
-                    ratio=round(per_query[name] / duck, 2) if duck > 0 else None,
+                detail[name]["duckdb_sec"] = round(duck, 4)
+                if name in RATIO_EXCLUDE:
+                    detail[name]["ratio_note"] = RATIO_EXCLUDE[name]
+                    continue
+                detail[name]["ratio"] = (
+                    round(per_query[name] / duck, 2) if duck > 0 else None
                 )
                 if name in rebuild and duck > 0:
                     detail[name]["rebuild_ratio"] = round(
