@@ -356,17 +356,9 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
     raise ValueError("truncated GIF LZW stream (no EOI, pixels short)")
 
 
-def encode_gif(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB → single-frame GIF89a with a global color
-    table. No quantizer (fixture-writer, like encode_png): the image must
-    have ≤256 distinct colors or this raises. The LZW stream is a real
-    dictionary encoder (not the emit-clear-every-code shortcut), tracking
-    code width exactly as the decoder grows it."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"expected (h, w, 3) array, got {a.shape}")
-    h, w = a.shape[:2]
-    flat = a.reshape(-1, 3)
+def _gif_palette(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """(n, 3) RGB rows → (palette, per-row indices, min-code-size). Raises
+    past 256 distinct colors (palette writer, no quantizer)."""
     palette, indices = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
         raise ValueError(
@@ -374,15 +366,18 @@ def encode_gif(arr: np.ndarray) -> bytes:
             "images only (quantize first)"
         )
     mcs = max(2, int(len(palette) - 1).bit_length())
-    gct = np.zeros((1 << mcs, 3), dtype=np.uint8)
-    gct[: len(palette)] = palette
-    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    return palette, indices, mcs
 
+
+def _gif_lzw_encode(seq: bytes, mcs: int) -> bytes:
+    """Index sequence → packed LZW code stream (spec appendix F). A real
+    dictionary encoder (not the emit-clear-every-code shortcut), tracking
+    code width exactly as the decoder grows it."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
     codes: list[tuple[int, int]] = []  # (code, width at emit time)
     table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
     next_code, cs = eoi + 1, mcs + 1
     codes.append((clear, cs))
-    seq = indices.astype(np.uint8).tobytes()
     wbuf = seq[:1]
     for i in range(1, len(seq)):
         k = seq[i : i + 1]
@@ -418,29 +413,103 @@ def encode_gif(arr: np.ndarray) -> bytes:
             bits -= 8
     if bits:
         stream.append(acc & 0xFF)
+    return bytes(stream)
 
+
+def _gif_image_block(indices: bytes, w: int, h: int, mcs: int) -> bytes:
+    """Full-coverage image descriptor at (0, 0) + sub-blocked LZW data."""
+    out = bytearray(b"\x2c" + b"\x00" * 4)  # descriptor, left=top=0
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0)  # no LCT, not interlaced
+    out.append(mcs)
+    stream = _gif_lzw_encode(indices, mcs)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def _gif_header(w: int, h: int, gct: np.ndarray, mcs: int) -> bytes:
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out.append(0x80 | ((mcs - 1) << 4) | (mcs - 1))  # GCT flag + sizes
     out += b"\x00\x00"  # background index, aspect
     out += gct.tobytes()
-    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0, 0)
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0)  # no LCT, not interlaced
-    out.append(mcs)
-    for i in range(0, len(stream), 255):
-        block = stream[i : i + 255]
-        out.append(len(block))
-        out += block
-    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → single-frame GIF89a with a global color
+    table. No quantizer (fixture-writer, like encode_png): the image must
+    have ≤256 distinct colors or this raises."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got {a.shape}")
+    h, w = a.shape[:2]
+    palette, indices, mcs = _gif_palette(a.reshape(-1, 3))
+    gct = np.zeros((1 << mcs, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    return (
+        _gif_header(w, h, gct, mcs)
+        + _gif_image_block(indices.astype(np.uint8).tobytes(), w, h, mcs)
+        + b"\x3b"
+    )
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], delay_cs: int = 10
+) -> bytes:
+    """List of same-shape (h, w, 3) uint8 RGB frames → animated GIF89a
+    (r8): one GLOBAL color table over the union of all frames' colors
+    (≤256 across the whole animation, same no-quantizer contract as
+    encode_gif), a graphic-control extension with `delay_cs` centiseconds
+    before each full-coverage frame. Written for the frame-sampler path —
+    every frame is a complete image at (0, 0), disposal method none."""
+    if not frames:
+        raise ValueError("empty frame list")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    shape = arrs[0].shape
+    if any(a.shape != shape for a in arrs) or len(shape) != 3 or shape[2] != 3:
+        raise ValueError("all frames must share one (h, w, 3) shape")
+    h, w = shape[:2]
+    stacked = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    palette, all_idx, mcs = _gif_palette(stacked)
+    gct = np.zeros((1 << mcs, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    gce = (
+        b"\x21\xf9\x04\x00"
+        + int(delay_cs).to_bytes(2, "little")
+        + b"\x00\x00"
+    )
+    out = bytearray(_gif_header(w, h, gct, mcs))
+    per = h * w
+    for i in range(len(arrs)):
+        idx = all_idx[i * per : (i + 1) * per].astype(np.uint8).tobytes()
+        out += gce
+        out += _gif_image_block(idx, w, h, mcs)
+    out += b"\x3b"
     return bytes(out)
 
 
 def _decode_gif(payload: bytes) -> np.ndarray:
-    """GIF87a/89a → (h, w, 3) uint8 RGB. First image block of the file
-    (animation frames beyond the first are a frame-sampler's concern, not
-    a decode-one-asset codec's); extensions are skipped per spec framing;
-    interlaced images raise like Adam7 PNG does."""
+    """GIF87a/89a → (h, w, 3) uint8 RGB, first frame only (decode_image's
+    one-image contract; the multi-frame walk is decode_gif_frames)."""
+    return _gif_walk(payload, first_only=True)[0]
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Animated GIF → every frame as (h, w, 3) uint8 RGB (r8, the REAL
+    frame-sampler input path). Full-coverage frames only — a frame with a
+    sub-rectangle descriptor or nonzero offset would need disposal-method
+    compositing and raises NotImplementedError (the honest-scope pattern;
+    encode_gif_animation writes full frames). Same ValueError contract on
+    truncation as decode_image."""
+    return _gif_walk(payload, first_only=False)
+
+
+def _gif_walk(payload: bytes, first_only: bool) -> list[np.ndarray]:
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 14:
@@ -459,11 +528,14 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     # mid-descriptor, or mid-data-sub-block would surface IndexError from
     # an executor UDF — map it onto the codec's documented ValueError
     # contract (r7 ADVICE).
+    frames: list[np.ndarray] = []
+    saw_trailer = False
     try:
         while pos < len(payload):
             block = payload[pos]
             pos += 1
             if block == 0x3B:  # trailer
+                saw_trailer = True
                 break
             if block == 0x21:  # extension: label + sub-blocks
                 pos += 1
@@ -475,6 +547,8 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                 raise ValueError(f"unexpected GIF block 0x{block:02x}")
             if pos + 9 > len(payload):
                 raise ValueError("truncated GIF image descriptor")
+            left = int.from_bytes(payload[pos : pos + 2], "little")
+            top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
             iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
             ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
             ipacked = payload[pos + 8]
@@ -490,6 +564,11 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                 pos += 3 * n
             if ipacked & 0x40:
                 raise NotImplementedError("interlaced GIF not supported")
+            if (left, top) != (0, 0) or (iw, ih) != (w, h):
+                raise NotImplementedError(
+                    "sub-rectangle GIF frame (disposal compositing needed); "
+                    "full-coverage frames only"
+                )
             if ct is None:
                 raise ValueError("GIF image without a color table")
             mcs = payload[pos]
@@ -499,15 +578,27 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                 n = payload[pos]
                 chunks.append(payload[pos + 1 : pos + 1 + n])
                 pos += 1 + n
+            pos += 1  # past the 0x00 block terminator
             idx = _gif_lzw_decode(b"".join(chunks), mcs, iw * ih)
             if len(idx) < iw * ih:
                 raise ValueError("GIF pixel data truncated")
             if idx.max(initial=0) >= len(ct):
                 raise ValueError("GIF index outside color table")
-            return np.ascontiguousarray(ct[idx.reshape(ih, iw)])
+            frames.append(np.ascontiguousarray(ct[idx.reshape(ih, iw)]))
+            if first_only:
+                return frames
     except IndexError:
         raise ValueError("truncated GIF") from None
-    raise ValueError("GIF contains no image block")
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    if not saw_trailer:
+        # multi-frame contract is STRICT: a cut at a frame boundary and a
+        # missing trailer are indistinguishable, and returning a silently
+        # shortened animation would corrupt downstream frame sampling —
+        # raise instead. (decode_image's first-frame path keeps its
+        # documented trailer leniency: it returns before reaching here.)
+        raise ValueError("truncated GIF: data ends without a trailer")
+    return frames
 
 
 # --- image dispatch ----------------------------------------------------------

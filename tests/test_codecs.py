@@ -410,3 +410,57 @@ def test_gif_roundtrip_property():
         assert np.array_equal(decode_image(encode_gif(a)), a)
 
     check()
+
+
+def test_gif_animation_roundtrip_and_first_frame_contract():
+    from omnidata_etl_spark.codecs import (
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = np.unique(rng.integers(0, 256, size=(12, 3), dtype=np.uint8), axis=0)
+    frames = [pal[rng.integers(0, len(pal), size=(7, 5))] for _ in range(6)]
+    anim = encode_gif_animation(frames, delay_cs=3)
+    dec = decode_gif_frames(anim)
+    assert len(dec) == 6
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    # decode_image keeps its one-image contract: first frame only
+    assert np.array_equal(decode_image(anim), frames[0])
+    # a single-frame GIF is a 1-frame animation
+    assert len(decode_gif_frames(encode_gif(frames[0]))) == 1
+    # shape mismatch across frames is an encoder error
+    with pytest.raises(ValueError):
+        encode_gif_animation([frames[0], frames[0][:3]])
+    with pytest.raises(ValueError):
+        encode_gif_animation([])
+
+
+def test_gif_animation_truncation_raises_valueerror():
+    from omnidata_etl_spark.codecs import decode_gif_frames, encode_gif_animation
+
+    rng = np.random.default_rng(13)
+    pal = np.unique(rng.integers(0, 256, size=(6, 3), dtype=np.uint8), axis=0)
+    frames = [pal[rng.integers(0, len(pal), size=(5, 4))] for _ in range(3)]
+    anim = encode_gif_animation(frames)
+    assert len(decode_gif_frames(anim)) == 3
+    # the multi-frame contract is STRICT: any prefix — including one that
+    # cuts exactly at a frame boundary or drops only the trailer — raises
+    # rather than returning a silently-shortened animation (a boundary cut
+    # and a missing trailer are indistinguishable)
+    for cut in range(14, len(anim)):
+        with pytest.raises(ValueError):
+            decode_gif_frames(anim[:cut])
+
+
+def test_gif_subrectangle_frame_raises_notimplemented():
+    from omnidata_etl_spark.codecs import decode_gif_frames, encode_gif
+
+    raw = bytearray(encode_gif(_img(4, 6, seed=3) // 32 * 32))
+    # find the image descriptor (0x2C after header+GCT) and shrink the
+    # frame: a sub-rectangle needs disposal compositing → NotImplemented
+    pos = raw.index(0x2C, 13)
+    raw[pos + 5 : pos + 7] = (3).to_bytes(2, "little")  # iw 6 → 3
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_gif_frames(bytes(raw))
