@@ -684,3 +684,61 @@ def test_random_subquery_differential_vs_duckdb(spark, sf_dir):
             ).fetchall()
         )
         assert a == b, f"case {i}: {sql}"
+
+
+def test_random_delimited_ingest_differential_vs_duckdb(spark, tmp_path_factory):
+    """Differential fuzz over the INGEST layer (r8, the 11th layer): 10
+    seeded random delimited files — delimiter drawn from tab/pipe/comma,
+    random empty cells, random short rows, blank lines — read through
+    read_any's sniff+clean path vs DuckDB read_csv with the same
+    delimiter made explicit. Exercises the semantics the promoted ingest
+    oracles pin on ONE fixture each: header-from-line-1, text-by-default,
+    empty→NULL, short-row NULL padding, blank-line skipping."""
+    import random
+    import uuid
+
+    import duckdb
+
+    from omnidata_etl_spark.ingest.readers import read_any
+    from tests.oracle_util import canonical
+
+    con = duckdb.connect()
+    rng = random.Random(0x1A6E57)
+    base = tmp_path_factory.mktemp("ingest_fuzz")
+    for i in range(10):
+        delim, ext = rng.choice([("\t", "tsv"), ("|", "csv"), (",", "csv")])
+        n_cols = rng.randint(2, 5)
+        headers = [f"c{j}" for j in range(n_cols)]
+        # cell alphabet avoids every sniffable delimiter and quoting
+        alpha = "abcXYZ 09._-"
+        lines = [delim.join(headers)]
+        for _ in range(rng.randint(3, 12)):
+            if rng.random() < 0.15:
+                lines.append("")  # blank line: skipped by both readers
+                continue
+            width = rng.randint(1, n_cols)  # short rows → NULL padding
+            cells = [
+                ""
+                if rng.random() < 0.25
+                else "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8))).strip()
+                for _ in range(width)
+            ]
+            lines.append(delim.join(cells))
+        path = str(base / f"{uuid.uuid4().hex}.{ext}")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+
+        spdf = read_any(spark, path).toPandas()
+        d = "\\t" if delim == "\t" else delim
+        opdf = con.execute(
+            f"SELECT * FROM read_csv('{path}', header=true, "
+            f"all_varchar=true, delim='{d}', null_padding=true, "
+            f"auto_detect=false, "
+            f"columns={{{', '.join(repr(h) + ': ' + repr('VARCHAR') for h in headers)}}})"
+        ).df()
+        # DuckDB returns '' for empty cells under all_varchar; Spark's
+        # reader declares empty→NULL (R10) — apply the DECLARED cleaning
+        # to the oracle frame, which is exactly what the check verifies
+        opdf = opdf.map(lambda v: None if v == "" else v)
+        s, o = canonical(spdf), canonical(opdf)
+        assert s == o, f"case {i} ({path}): {s[:2]} vs {o[:2]}"
