@@ -591,3 +591,28 @@ def test_ann_pq_plans_take_ordered_no_extra_exchange(spark, sf_dir):
         assert "TakeOrderedAndProject" in tree, name
         assert "ArrowEvalPython" in tree or "BatchEvalPython" in tree, name
         assert "CartesianProduct" not in tree, name
+
+
+def test_q9_single_fact_exchange_and_unhinted_orders_join(spark, sf_dir):
+    """r8: q9's orders join is UNHINTED — the planner/AQE chooses (a
+    broadcast of the 2-column projected orders at bench scale, sort-merge
+    on the established l_orderkey partitioning at cluster scale). Pins
+    (a) exactly ONE hashpartitioning exchange on l_orderkey alone (the
+    explicit repartition that serves BOTH the pre-agg and the join — the
+    single-fact-exchange trick), and (b) the pre-aggregation sits BELOW
+    the orders join: the plan's only fact-side aggregate keys include
+    l_orderkey, so per-line rows never reach the join."""
+    import re
+
+    plan = _plan(spark, sf_dir, "tpch_q9_product_profit")
+    tree = plan.split("\n\n", 1)[0]
+    fact_exchanges = re.findall(
+        r"hashpartitioning\(l_orderkey#\d+L?, \d+\)", plan
+    )
+    assert len(fact_exchanges) == 1, (
+        f"expected exactly one l_orderkey-only exchange, got "
+        f"{fact_exchanges} in:\n{tree}"
+    )
+    assert re.search(r"Keys \[2\]: \[l_orderkey#\d+L?, nation#\d+\]", plan), (
+        "pre-aggregation below the orders join went missing"
+    )
