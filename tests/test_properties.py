@@ -618,6 +618,31 @@ def test_random_window_frame_differential_vs_duckdb(spark, sf_dir):
         )
         assert a == b, f"case {i}: {sql}"
 
+    # value-based RANGE frames (6 more cases): peers enter the frame by
+    # ORDER-key VALUE, so duplicate cent values — which the testdata has —
+    # are the divergence surface ROWS frames cannot reach
+    for i in range(6):
+        part = rng.choice(["l_returnflag", "l_linestatus"])
+        lo, hi = rng.randint(0, 500000), rng.randint(0, 500000)
+        qcap = rng.randint(3, 10)
+        cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        sql = (
+            f"SELECT l_orderkey, l_linenumber, {cents} AS c, "
+            f"SUM({cents}) OVER (PARTITION BY {part} ORDER BY {cents} "
+            f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) AS rsum, "
+            f"COUNT(*) OVER (PARTITION BY {part} ORDER BY {cents} "
+            f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW) AS rcnt "
+            f"FROM {{t}} WHERE l_quantity <= {qcap}"
+        )
+        a = sorted(
+            tuple(r) for r in spark.sql(sql.format(t="li_ffuzz")).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in con.execute(sql.format(t="lineitem")).fetchall()
+        )
+        assert a == b, f"range case {i}: {sql}"
+
 
 def test_random_subquery_differential_vs_duckdb(spark, sf_dir):
     """Differential fuzz over the subquery layer (r8, the 10th layer):
