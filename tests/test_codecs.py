@@ -464,3 +464,27 @@ def test_gif_subrectangle_frame_raises_notimplemented():
     raw[pos + 5 : pos + 7] = (3).to_bytes(2, "little")  # iw 6 → 3
     with pytest.raises((NotImplementedError, ValueError)):
         decode_gif_frames(bytes(raw))
+
+
+def test_gif_animation_property_roundtrip():
+    """Property sweep: random frame counts / dims / palette sizes (incl.
+    the 1-frame, 1×1, and 256-color edges) roundtrip pixel-exactly
+    through encode_gif_animation → decode_gif_frames."""
+    from omnidata_etl_spark.codecs import decode_gif_frames, encode_gif_animation
+
+    rng = np.random.default_rng(29)
+    for case in range(12):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(1, 20))
+        n_frames = int(rng.integers(1, 8))
+        ncol = int(rng.integers(1, 257))
+        pal = np.unique(
+            rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8), axis=0
+        )
+        frames = [
+            pal[rng.integers(0, len(pal), size=(h, w))] for _ in range(n_frames)
+        ]
+        dec = decode_gif_frames(encode_gif_animation(frames))
+        assert len(dec) == n_frames, f"case {case}"
+        for f, d in zip(frames, dec):
+            assert np.array_equal(f, d), f"case {case}"

@@ -767,3 +767,42 @@ def test_random_delimited_ingest_differential_vs_duckdb(spark, tmp_path_factory)
         opdf = opdf.map(lambda v: None if v == "" else v)
         s, o = canonical(spdf), canonical(opdf)
         assert s == o, f"case {i} ({path}): {s[:2]} vs {o[:2]}"
+
+
+def test_random_percentile_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over quantile interpolation (r8, the 12th layer):
+    12 seeded random percentiles (incl. the 0/1 edges and values landing
+    exactly ON a rank vs between ranks) over cent-scaled int64 money —
+    percentile_cont interpolates between two int64 ranks as an exact
+    double expression, so Spark's percentile() and DuckDB's
+    quantile_cont() must agree bit-for-bit; agg_percentiles pins only
+    p ∈ {0.5, 0.9}."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pfuzz")
+
+    rng = random.Random(0x9C7)
+    cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    ps = [0.0, 1.0] + [round(rng.random(), 6) for _ in range(10)]
+    for i, p in enumerate(ps):
+        qcap = rng.randint(5, 40)
+        s_sql = (
+            f"SELECT l_returnflag, percentile({cents}, {p}) AS v "
+            f"FROM li_pfuzz WHERE l_quantity <= {qcap} GROUP BY l_returnflag"
+        )
+        d_sql = (
+            f"SELECT l_returnflag, quantile_cont({cents}, {p}) AS v "
+            f"FROM lineitem WHERE l_quantity <= {qcap} GROUP BY l_returnflag"
+        )
+        a = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+        b = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
+        assert a == b, f"case {i} (p={p}): {a} vs {b}"
