@@ -564,7 +564,11 @@ def _gif_walk(payload: bytes, first_only: bool) -> list[np.ndarray]:
                 pos += 3 * n
             if ipacked & 0x40:
                 raise NotImplementedError("interlaced GIF not supported")
-            if (left, top) != (0, 0) or (iw, ih) != (w, h):
+            if not first_only and ((left, top) != (0, 0) or (iw, ih) != (w, h)):
+                # compositing a sub-rectangle onto the previous frame needs
+                # disposal-method handling — multi-frame walk only; the
+                # single-frame path below keeps decode_image's historical
+                # behavior of returning the block at its OWN dims
                 raise NotImplementedError(
                     "sub-rectangle GIF frame (disposal compositing needed); "
                     "full-coverage frames only"
