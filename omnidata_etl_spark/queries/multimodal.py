@@ -207,7 +207,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3-6 frames, every frame distinct), and the mapInPandas op explodes it
     into per-frame rows (asset_id, frame_idx, frame binary) through
     decode_gif_frames → evenly-sampled ≤4 frames → re-encoded standalone
-    GIFs. Self-evidencing (rows-only): ``frames_ok`` per asset is true
+    PPMs (resize_image's output format — see sample_frames). Self-evidencing (rows-only): ``frames_ok`` per asset is true
     only if every sampled frame re-DECODES to the source animation's
     (h, w) dims — the sampled bytes are proven to be real images inside
     the query's own output. MP4/WebM stay honestly out of scope
