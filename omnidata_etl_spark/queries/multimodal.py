@@ -6,7 +6,7 @@ extraction / resize / frame-sampling run as Arrow-batched Pandas functions
 over ``mapInPandas`` so the payload bytes never round-trip through Python
 row-at-a-time serde. Decode is REAL for the formats a bare container can
 express — PPM/BMP images (numpy), PNG (stdlib zlib + numpy unfilter),
-GIF (pure-Python LZW, r7), WAV/PCM16 audio (stdlib ``wave``) — see
+GIF incl. multi-frame animations (pure-Python LZW, r7/r8), WAV/PCM16 audio (stdlib ``wave``) — see
 omnidata_etl_spark/codecs.py; JPEG/MP3 genuinely need an external library
 (documented out of scope there) and raise NotImplementedError from the
 same magic-byte dispatch until one exists here. The Spark-side plumbing (schema, batching, partitioning) is
@@ -15,6 +15,7 @@ identical for both (tests/test_multimodal.py, tests/test_codecs.py).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -170,9 +171,6 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length(payload)).alias("total_bytes"),
         F.max(F.octet_length(payload)).alias("max_bytes"),
     )
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=8192)
