@@ -806,3 +806,58 @@ def test_random_percentile_differential_vs_duckdb(spark, sf_dir):
         a = sorted(tuple(r) for r in spark.sql(s_sql).collect())
         b = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
         assert a == b, f"case {i} (p={p}): {a} vs {b}"
+
+
+def test_random_date_arith_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over date/interval arithmetic (r8, the 13th
+    layer): 14 seeded random day-shifts, month-shifts (the month-end
+    CLAMPING surface: Jan 31 + 1 month), date_trunc grains, and day
+    diffs over orders dates. Results are emitted as ISO strings on both
+    sides (the repo's raw-timestamp determinism rule); formatting
+    functions differ by engine so the SQL is templated per engine."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("o_dfuzz")
+
+    rng = random.Random(0xDA7E)
+    for i in range(14):
+        kind = rng.choice(["day_add", "month_add", "trunc", "diff"])
+        cut = rng.randint(1000, 150000)
+        if kind == "day_add":
+            n = rng.randint(-400, 400)
+            s_expr = f"date_format(date_add(CAST(o_orderdate AS DATE), {n}), 'yyyy-MM-dd')"
+            d_expr = f"strftime(CAST(o_orderdate AS DATE) + INTERVAL ({n}) DAY, '%Y-%m-%d')"
+        elif kind == "month_add":
+            n = rng.randint(-25, 25)
+            s_expr = f"date_format(add_months(CAST(o_orderdate AS DATE), {n}), 'yyyy-MM-dd')"
+            d_expr = f"strftime(CAST(o_orderdate AS DATE) + INTERVAL ({n}) MONTH, '%Y-%m-%d')"
+        elif kind == "trunc":
+            grain = rng.choice(["week", "month", "quarter", "year"])
+            s_expr = f"date_format(date_trunc('{grain}', o_orderdate), 'yyyy-MM-dd')"
+            d_expr = f"strftime(date_trunc('{grain}', o_orderdate), '%Y-%m-%d')"
+        else:
+            d0 = f"199{rng.randint(5, 9)}-0{rng.randint(1, 9)}-15"
+            s_expr = f"datediff(CAST(o_orderdate AS DATE), DATE '{d0}')"
+            d_expr = f"date_diff('day', DATE '{d0}', CAST(o_orderdate AS DATE))"
+        s_sql = (
+            f"SELECT o_orderkey, {s_expr} AS v FROM o_dfuzz "
+            f"WHERE o_totalprice < {cut}"
+        )
+        d_sql = (
+            f"SELECT o_orderkey, {d_expr} AS v FROM orders "
+            f"WHERE o_totalprice < {cut}"
+        )
+        a = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+        b = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
+        assert a == b, f"case {i} ({kind}): first diff " + str(
+            next((x for x in zip(a, b) if x[0] != x[1]), None)
+        )
