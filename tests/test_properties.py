@@ -861,3 +861,72 @@ def test_random_date_arith_differential_vs_duckdb(spark, sf_dir):
         assert a == b, f"case {i} ({kind}): first diff " + str(
             next((x for x in zip(a, b) if x[0] != x[1]), None)
         )
+
+
+def test_random_string_fn_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over the string-function surface (r8, the 14th
+    layer): 16 seeded random compositions of the cross-engine-portable
+    subset — substr/left/right slicing, case folding, replace, lpad/rpad,
+    trim, split_part, instr/strpos (name-templated per engine) — over
+    customer names (ASCII corpus; regexp flavors and non-ASCII collation
+    are engine-specific by design and stay out, like the scalar-fuzz
+    layer's float note)."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    )
+    table(spark, sf_dir, "customer").createOrReplaceTempView("c_strfuzz")
+
+    rng = random.Random(0x57F6)
+    for i in range(16):
+        kind = rng.choice(
+            ["slice", "case_replace", "pad", "split", "pos"]
+        )
+        if kind == "slice":
+            a, b = rng.randint(1, 8), rng.randint(1, 10)
+            k = rng.randint(1, 6)
+            expr = (
+                f"concat(left(c_name, {k}), '~', right(c_name, {k}), '~', "
+                f"substr(c_name, {a}, {b}))"
+            )
+            s_expr = d_expr = expr
+        elif kind == "case_replace":
+            ch = rng.choice("aeiou#0123")
+            rep = rng.choice(["", "_", "XY"])
+            s_expr = d_expr = (
+                f"replace(upper(c_name), '{ch.upper()}', '{rep}')"
+            )
+        elif kind == "pad":
+            n = rng.randint(3, 25)
+            fill = rng.choice(".*-")
+            fn = rng.choice(["lpad", "rpad"])
+            s_expr = d_expr = f"{fn}(trim(c_name), {n}, '{fill}')"
+        elif kind == "split":
+            p = rng.randint(1, 3)
+            s_expr = d_expr = f"split_part(c_name, '#', {p})"
+        else:
+            sub = rng.choice(["mer#", "000", "1", "Customer"])
+            s_expr = f"instr(c_name, '{sub}')"
+            d_expr = f"strpos(c_name, '{sub}')"
+        cut = rng.randint(100, 2000)
+        a_rows = sorted(
+            tuple(r)
+            for r in spark.sql(
+                f"SELECT c_custkey, {s_expr} AS v FROM c_strfuzz "
+                f"WHERE c_custkey <= {cut}"
+            ).collect()
+        )
+        b_rows = sorted(
+            con.execute(
+                f"SELECT c_custkey, {d_expr} AS v FROM customer "
+                f"WHERE c_custkey <= {cut}"
+            ).fetchall()
+        )
+        assert a_rows == b_rows, f"case {i} ({kind}): {s_expr}"
