@@ -269,20 +269,68 @@ IVF_ITERS = 2
 IVF_TRAIN_SAMPLE = 4096  # quantizer-training sample rows (driver-side)
 
 
+def _sq_dists(x, c):
+    """All-pairs squared L2 distances as ONE BLAS GEMM: ||x||² − 2x·cᵀ +
+    ||c||² instead of the broadcast-subtract form ((x[:,None,:] −
+    c[None,:,:])²).sum(2). The naive form materializes an (n, K, dim)
+    float64 temporary — 1.6 GB and 15-17 s single-thread for a 100 k × 32
+    × 64 assignment batch (measured, r9) — while the expansion is an
+    (n, dim)@(dim, K) matmul: 0.3 s for the same batch, 50×. Every
+    quantizer assignment/encode UDF and Lloyd step in this module routes
+    through here so engine, trainer, and test replications share one
+    argmin surface (same fp rounding → same tie behavior). Expect tiny
+    negative values for near-identical pairs (cancellation); callers use
+    the result only for argmin/ordering, where that is harmless."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    return (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+
+
 def _train_sample(emb: "DataFrame"):
     """The bounded deterministic training sample every quantizer in this
     module trains on (first IVF_TRAIN_SAMPLE vectors by vec_id, one
     driver-side collect): (N×dim float64 array, {vec_id: row} dict).
     Callers composing several quantizers (ann_ivf_pq_topk) collect once
-    and pass the tuple through."""
+    and pass the tuple through.
+
+    r9 scale fix: the original ``orderBy(vec_id).limit(N)`` planned as a
+    TakeOrdered over the FULL corpus — every partition heap-sorted its
+    rows *with their 64-dim embeddings in the heap*, so the "bounded"
+    collect's cost grew linearly with corpus size (measured 3.1 s of the
+    x50 probe's 4.7 s wall; it was the real slope the r8 probe
+    attributed to the brute pass). vec_id is contiguous 0..N-1 in this
+    data model, so ``vec_id < N`` selects the same rows as a
+    parquet-pushed range predicate: row groups (and at x50, whole
+    replica files) whose min exceeds the bound are pruned at scan time
+    and the sort handles ≤N rows. The TakeOrdered path survives only as
+    a fallback for a non-zero-based id space (planner cost, not
+    correctness: both forms return the first N rows by vec_id whenever
+    any rows fall under the bound)."""
     import numpy as np
 
+    cols = ["vec_id", "embedding"]
+    # No Spark-side orderBy: a global sort range-partitions, which runs a
+    # SECOND sampling pass over the filtered scan; ≤N collected rows sort
+    # driver-side for free.
     rows = (
-        emb.orderBy("vec_id")
-        .limit(IVF_TRAIN_SAMPLE)
-        .select("vec_id", "embedding")
+        emb.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+        .select(*cols)
         .toPandas()
     )
+    if len(rows) == 0:
+        rows = (
+            emb.orderBy("vec_id")
+            .limit(IVF_TRAIN_SAMPLE)
+            .select(*cols)
+            .toPandas()
+        )
+    rows = rows.sort_values("vec_id", ignore_index=True)
     x = np.asarray(rows["embedding"].tolist(), dtype=np.float64)
     return x, dict(zip(rows["vec_id"].tolist(), x))
 
@@ -307,8 +355,7 @@ def ivf_centroids(emb: "DataFrame", sample=None):
     x, by_id = sample if sample is not None else _train_sample(emb)
     cents = x[:IVF_CLUSTERS].copy()
     for _ in range(IVF_ITERS):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _sq_dists(x, cents).argmin(axis=1)
         for k in range(IVF_CLUSTERS):
             members = x[assign == k]
             if len(members):
@@ -368,8 +415,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         x = np.asarray(s.tolist(), dtype=np.float64)  # B×D Arrow batch
-        d2 = ((x[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d2.argmin(axis=1))
+        return pd.Series(_sq_dists(x, cents_np).argmin(axis=1))
 
     assigned = spread(emb).withColumn("cid", nearest_cid(F.col("embedding")))
     qe = F.array(*[F.lit(float(v)) for v in qv])
@@ -431,8 +477,7 @@ def pq_codebooks(emb: "DataFrame", sample=None, train_x=None):
         xm = sub[:, m, :]
         c = xm[:PQ_CODEWORDS].copy()
         for _ in range(PQ_ITERS):
-            d2 = ((xm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = _sq_dists(xm, c).argmin(axis=1)
             for k in range(PQ_CODEWORDS):
                 members = xm[assign == k]
                 if len(members):
@@ -487,8 +532,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         codes = np.empty((len(x), PQ_SUBSPACES), dtype=np.int32)
         for m in range(PQ_SUBSPACES):
-            d2 = ((x[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-            codes[:, m] = d2.argmin(axis=1)
+            codes[:, m] = _sq_dists(x[:, m, :], books[m]).argmin(axis=1)
         return pd.Series(list(codes))
 
     _code.__annotations__ = {"s": pd.Series, "return": pd.Series}
@@ -569,9 +613,19 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is written partitionBy(cid): the probe filter becomes
     partition pruning and the scan touches NPROBE/K of the files.
 
-    Self-evidencing like the LSH/IVF/PQ siblings: ``in_brute_topk`` per
-    row vs the exact squared-L2 top-10; the clustered-data recovery
-    property is pinned in tests (ann_pq test pattern, residual form)."""
+    Self-evidencing like the LSH/IVF/PQ siblings, but BOUNDED (r9,
+    VERDICT r8 #3): ``in_probed_exact_topk`` flags membership in the
+    exact squared-L2 top-10 *within the probed cells* — the evidence
+    pass assigns each row its coarse cell with a light centroid-argmin
+    UDF and applies the probe filter BEFORE any exact distance work, so
+    its cost scales with the same NPROBE/K corpus fraction as the search
+    itself instead of rescanning the full corpus (the r8 ×50 probe
+    measured 4.3× growth and attributed the slope to the old full brute
+    pass; self-evidence must not set the op's asymptotics). Exact
+    ranking conditioned on the probe list is precisely what ADC-over-
+    residual-codes claims to approximate; coarse-quantizer recovery
+    (probing does not miss the true cell on separable data) is pinned
+    separately in tests (test_ivf_pq_residual_composition_on_clusters)."""
     import numpy as np
     import pandas as pd
 
@@ -579,9 +633,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = _train_sample(emb)
     cents, by_id = ivf_centroids(emb, sample=sample)
     xs = sample[0]
-    assign = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(
-        axis=1
-    )
+    assign = _sq_dists(xs, cents).argmin(axis=1)
     residuals = xs - cents[assign]
     books, _ = pq_codebooks(emb, sample=sample, train_x=residuals)
     qv = by_id[0]
@@ -597,14 +649,12 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _enc(s):
         x = np.asarray(s.tolist(), dtype=np.float64)
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        cid = d2.argmin(axis=1)
+        cid = _sq_dists(x, cents).argmin(axis=1)
         r = (x - cents[cid]).reshape(-1, PQ_SUBSPACES, ds)
         out = np.empty((len(x), 1 + PQ_SUBSPACES), dtype=np.int32)
         out[:, 0] = cid
         for m in range(PQ_SUBSPACES):
-            dm = ((r[:, m, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-            out[:, m + 1] = dm.argmin(axis=1)
+            out[:, m + 1] = _sq_dists(r[:, m, :], books[m]).argmin(axis=1)
         return pd.Series(list(out))
 
     _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
@@ -649,6 +699,16 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
         .limit(10)
     )
+    # Evidence pass, probe-bounded: cell assignment needs only the
+    # centroid argmin (a third of the full encode), and the probe filter
+    # sits below the exact-distance projection so unprobed rows do NO
+    # distance algebra — same plan discipline as the ADC scan above.
+    def _cell(s):
+        x = np.asarray(s.tolist(), dtype=np.float64)
+        return pd.Series(_sq_dists(x, cents).argmin(axis=1).astype(np.int32))
+
+    _cell.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    ivf_cell = F.pandas_udf(_cell, "int")
     qe_sql = "array({})".format(", ".join(repr(float(v)) for v in qv))
     exact_d2 = F.expr(
         f"aggregate(zip_with(cast(embedding AS array<double>), {qe_sql}, "
@@ -657,6 +717,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = (
         spread(emb)
         .filter(F.col("vec_id") != 0)
+        .withColumn("cid", ivf_cell(F.col("embedding")))
+        .filter(F.expr(f"array_position({probe_sql}, cid) > 0"))
         .select("vec_id", exact_d2.alias("b_d2"))
         .orderBy(F.asc("b_d2"), F.asc("vec_id"))
         .limit(10)
@@ -667,7 +729,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "approx_d2",
-            F.col("b_vec_id").isNotNull().alias("in_brute_topk"),
+            F.col("b_vec_id").isNotNull().alias("in_probed_exact_topk"),
         )
         .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
     )

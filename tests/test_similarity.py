@@ -292,11 +292,43 @@ def test_ivf_pq_residual_composition_on_clusters(spark):
 
 def test_ann_ivf_pq_topk_structural(spark, sf_dir):
     """Declared-query pins: 10 rows ascending by approx_d2, recall flags
-    present and at least one true on the deterministic corpus."""
+    present and at least one true on the deterministic corpus. r9: the
+    evidence column is probe-bounded (`in_probed_exact_topk`) — verify
+    it row-for-row against an independently computed exact top-10 over
+    the probed cells (recomputed here with numpy from the same
+    deterministic quantizer sample)."""
+    import numpy as np
+
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.similarity import (
+        IVF_NPROBE,
+        _sq_dists,
+        _train_sample,
+        ivf_centroids,
+    )
     from omnidata_etl_spark.registry import all_specs
 
     rows = all_specs()["ann_ivf_pq_topk"].fn(spark, sf_dir).collect()
     assert len(rows) == 10
     d2s = [r.approx_d2 for r in rows]
     assert d2s == sorted(d2s)
-    assert any(r.in_brute_topk for r in rows)
+    assert any(r.in_probed_exact_topk for r in rows)
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, by_id = ivf_centroids(emb, sample=_train_sample(emb))
+    qv = np.asarray(by_id[0], dtype=np.float64)
+    probe = set(
+        np.argsort(((cents - qv) ** 2).sum(axis=1), kind="stable")[
+            :IVF_NPROBE
+        ].tolist()
+    )
+    pdf = emb.toPandas()
+    xs = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    cid = _sq_dists(xs, cents).argmin(axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    mask = (ids != 0) & np.isin(cid, list(probe))
+    d2 = ((xs[mask] - qv) ** 2).sum(axis=1)
+    order = np.lexsort((ids[mask], d2))
+    exact10 = set(ids[mask][order[:10]].tolist())
+    for r in rows:
+        assert r.in_probed_exact_topk == (r.vec_id in exact10)
