@@ -23,10 +23,14 @@ from omnidata_etl_spark.registry import query
 EMBED_DIM = 64
 LSH_PLANES = 8  # 2^8 = 256 buckets
 # Corpus size above which banded LSH hashing switches from the SQL
-# expression path to the Arrow/BLAS matmul path (see banded_lsh_buckets):
-# the crossover sits between the measured 2k (SQL wins) and 100k (matmul
-# wins) corpora.
-NUMPY_LSH_MIN_N = 32_768
+# expression path to the Arrow/BLAS matmul path (see banded_lsh_buckets).
+# r7 measured SQL ahead at 2k vectors under the stage-reuse regime; the r9
+# interleaved A/B under the DRIVER regime (cold cache, plan rebuilt per
+# run, min-of-8) measured numpy ahead already at 2k (1.63 s vs 1.78 s min,
+# 1.92 vs 2.19 med) and 2.6× ahead at 100k, so the gate sits at the bench
+# corpus size; below it (500-vector sf0.01) the Python-worker round-trip
+# still dominates and SQL keeps winning.
+NUMPY_LSH_MIN_N = 2_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -984,7 +988,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_main = _corpus_count(spark, sf_dir)
 
-    originals = raw.orderBy("vec_id").limit(10)
+    # Pushed-down range predicate, not orderBy().limit(10): the TakeOrdered
+    # form heap-sorted the FULL corpus with embeddings in the heap (the
+    # _train_sample r9 finding — linear cost hiding in a "first 10 rows"
+    # subplan) and added an AQE stage to the run's job ladder; vec_id is
+    # contiguous 0..N-1 in this data model, so the filter selects the same
+    # 10 rows as a row-group-prunable scan predicate.
+    originals = raw.filter(F.col("vec_id") < 10)
     bump = F.transform(
         F.col("embedding"),
         lambda x, i: x.cast("double")
