@@ -496,7 +496,7 @@ def encode_gif_animation(
 def _decode_gif(payload: bytes) -> np.ndarray:
     """GIF87a/89a → (h, w, 3) uint8 RGB, first frame only (decode_image's
     one-image contract; the multi-frame walk is decode_gif_frames)."""
-    return _gif_walk(payload, first_only=True)[0]
+    return _gif_walk(payload, first_only=True)[0][0]
 
 
 def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
@@ -506,10 +506,21 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     compositing and raises NotImplementedError (the honest-scope pattern;
     encode_gif_animation writes full frames). Same ValueError contract on
     truncation as decode_image."""
+    return _gif_walk(payload, first_only=False)[0]
+
+
+def decode_gif_frames_with_delays(
+    payload: bytes,
+) -> tuple[list[np.ndarray], list[int]]:
+    """Like decode_gif_frames, plus each frame's graphic-control-extension
+    delay in CENTISECONDS (r9 — the time base every_ms sampling needs).
+    A frame with no preceding GCE gets delay 0, the GIF-spec default."""
     return _gif_walk(payload, first_only=False)
 
 
-def _gif_walk(payload: bytes, first_only: bool) -> list[np.ndarray]:
+def _gif_walk(
+    payload: bytes, first_only: bool
+) -> tuple[list[np.ndarray], list[int]]:
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 14:
@@ -529,6 +540,8 @@ def _gif_walk(payload: bytes, first_only: bool) -> list[np.ndarray]:
     # an executor UDF — map it onto the codec's documented ValueError
     # contract (r7 ADVICE).
     frames: list[np.ndarray] = []
+    delays: list[int] = []  # per-frame GCE delay, centiseconds (0 = none)
+    pending_delay = 0
     saw_trailer = False
     try:
         while pos < len(payload):
@@ -538,7 +551,14 @@ def _gif_walk(payload: bytes, first_only: bool) -> list[np.ndarray]:
                 saw_trailer = True
                 break
             if block == 0x21:  # extension: label + sub-blocks
+                label = payload[pos]
                 pos += 1
+                # graphic control: delay (cs) in bytes 2-3 of the 4-byte
+                # data block, applying to the NEXT image block (r9)
+                if label == 0xF9 and payload[pos] >= 4:
+                    pending_delay = int.from_bytes(
+                        payload[pos + 2 : pos + 4], "little"
+                    )
                 while payload[pos]:
                     pos += 1 + payload[pos]
                 pos += 1
@@ -589,8 +609,10 @@ def _gif_walk(payload: bytes, first_only: bool) -> list[np.ndarray]:
             if idx.max(initial=0) >= len(ct):
                 raise ValueError("GIF index outside color table")
             frames.append(np.ascontiguousarray(ct[idx.reshape(ih, iw)]))
+            delays.append(pending_delay)
+            pending_delay = 0
             if first_only:
-                return frames
+                return frames, delays
     except IndexError:
         raise ValueError("truncated GIF") from None
     if not frames:
@@ -602,7 +624,7 @@ def _gif_walk(payload: bytes, first_only: bool) -> list[np.ndarray]:
         # raise instead. (decode_image's first-frame path keeps its
         # documented trailer leniency: it returns before reaching here.)
         raise ValueError("truncated GIF: data ends without a trailer")
-    return frames
+    return frames, delays
 
 
 # --- image dispatch ----------------------------------------------------------

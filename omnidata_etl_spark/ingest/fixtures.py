@@ -131,15 +131,28 @@ def fixture_dir() -> str:
 
 
 def fixture_path(name: str) -> str:
-    """Materialize (once) and return the path of a named fixture file."""
+    """Materialize (once) and return the path of a named fixture file.
+
+    Staleness-proof (r9 ADVICE): an existing file is re-read and compared
+    to the embedded content — if the fixture text changed across versions,
+    the shared temp-dir copy from a prior run is rewritten instead of
+    silently served to BOTH Spark and the DuckDB oracle (the differential
+    cannot catch drift when the two sides read the same stale bytes).
+    Fixtures are a few hundred bytes, so the compare is one cheap read."""
     if name not in FIXTURES:
         raise KeyError(f"unknown fixture {name!r}")
     path = os.path.join(fixture_dir(), name)
-    if not os.path.exists(path):
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(FIXTURES[name])
-        os.replace(tmp, path)
+    want = FIXTURES[name]
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            if f.read() == want:
+                return path
+    except OSError:
+        pass
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(want)
+    os.replace(tmp, path)
     return path
 
 
@@ -147,15 +160,25 @@ def fixture_gz_path(name: str) -> str:
     """Materialize (once) `<name>.gz` at a deterministic path — byte-stable
     (gzip mtime pinned to 0) so both the Spark reader and a DuckDB oracle
     can reference the same compressed file (r8: promotes ingest_csv_gzip
-    from rows-only to oracle-checked)."""
+    from rows-only to oracle-checked). Regenerated whenever the source
+    fixture's decompressed bytes differ from the embedded content (r9
+    ADVICE: a stale .gz from a prior run would otherwise outlive a fixture
+    edit — fixture_path already rewrote the source by content-compare, and
+    the same compare gates the compressed copy)."""
     import gzip
 
     src = fixture_path(name)
     path = src + ".gz"
-    if not os.path.exists(path):
-        tmp = path + f".tmp{os.getpid()}"
-        with open(src, "rb") as fin, open(tmp, "wb") as raw:
-            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as fout:
-                fout.write(fin.read())
-        os.replace(tmp, path)
+    want = FIXTURES[name].encode("utf-8")
+    try:
+        with gzip.open(path, "rb") as f:
+            if f.read() == want:
+                return path
+    except OSError:
+        pass
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as fout:
+            fout.write(want)
+    os.replace(tmp, path)
     return path

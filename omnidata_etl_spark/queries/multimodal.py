@@ -90,24 +90,49 @@ def sample_frames(
 
     REAL path (r8): animated GIF — the one moving-image container a bare
     container can decode (codecs.py's pure-Python LZW walks EVERY image
-    block since r8). Frames are sampled evenly (≤ ``max_frames``) and each
-    re-encoded as standalone PPM — the same uncompressed output format
-    resize_image emits, so downstream per-frame ops (decode_image, resize)
-    consume them directly; PPM write is a header + raw bytes, vs 4 more
-    pure-Python LZW encode passes per asset for GIF output (measured: the
-    GIF-output form benched 0.83 s at sf0.1, PPM halves the codec passes).
-    MP4/WebM genuinely need ffmpeg/pyav (not in this container, out of
-    scope like JPEG): any non-GIF payload keeps the deterministic
-    byte-slice stub so the explode-style plumbing stays testable for
-    those types too."""
+    block since r8). ``every_ms`` is HONORED on this path (r9 ADVICE): the
+    decoder surfaces each frame's graphic-control delay, and the sampler
+    returns the frame DISPLAYED at t = 0, every_ms, 2·every_ms, … (up to
+    ``max_frames`` targets, duplicates collapsed, animations shorter than
+    every_ms yield their first frame) — real time-based sampling, the
+    ffmpeg `-vf fps=` contract. A GIF with no timing information (all
+    delays 0, legal per spec) falls back to even index sampling. Each
+    sampled frame re-encodes as standalone PPM — the same uncompressed
+    output format resize_image emits, so downstream per-frame ops
+    (decode_image, resize) consume them directly; PPM write is a header +
+    raw bytes, vs more pure-Python LZW encode passes per asset for GIF
+    output (measured r8: the GIF-output form benched 0.83 s at sf0.1,
+    PPM halves the codec passes). MP4/WebM genuinely need ffmpeg/pyav
+    (not in this container, out of scope like JPEG): any non-GIF payload
+    keeps the deterministic byte-slice stub (``every_ms`` has no meaning
+    there — the stub has no time base) so the explode-style plumbing
+    stays testable for those types too."""
     if payload is None or len(payload) == 0:
         return []
     if payload[:4] == b"GIF8":
-        from omnidata_etl_spark.codecs import decode_gif_frames, encode_ppm
+        from bisect import bisect_right
 
-        frames = decode_gif_frames(payload)
-        n = min(max_frames, len(frames))
-        picks = [round(i * (len(frames) - 1) / max(1, n - 1)) for i in range(n)]
+        from omnidata_etl_spark.codecs import (
+            decode_gif_frames_with_delays,
+            encode_ppm,
+        )
+
+        frames, delays = decode_gif_frames_with_delays(payload)
+        if any(delays):
+            starts = [0]
+            for d in delays[:-1]:
+                starts.append(starts[-1] + d * 10)
+            duration = starts[-1] + delays[-1] * 10
+            picks = [
+                bisect_right(starts, k * every_ms) - 1
+                for k in range(max_frames)
+                if k * every_ms < duration
+            ] or [0]
+        else:
+            n = min(max_frames, len(frames))
+            picks = [
+                round(i * (len(frames) - 1) / max(1, n - 1)) for i in range(n)
+            ]
         return [encode_ppm(frames[p]) for p in dict.fromkeys(picks)]
     n_frames = max(1, min(max_frames, len(payload) // 16))
     step = len(payload) // n_frames
@@ -202,10 +227,13 @@ def _synth_animation_payload(
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling (r8 — upgraded from the byte-slice stub):
     each video-typed document gets a synthesized multi-frame animated GIF
-    (3-6 frames, every frame distinct), and the mapInPandas op explodes it
-    into per-frame rows (asset_id, frame_idx, frame binary) through
-    decode_gif_frames → evenly-sampled ≤4 frames → re-encoded standalone
-    PPMs (resize_image's output format — see sample_frames). Self-evidencing (rows-only): ``frames_ok`` per asset is true
+    (3-6 frames at 100 ms GCE delay, every frame distinct), and the
+    mapInPandas op explodes it into per-frame rows (asset_id, frame_idx,
+    frame binary) through the delay-aware decoder → TIME-BASED sampling at
+    every_ms=100 (one frame per 100 ms of animation time, ≤4 — r9: the
+    sampler honors the GIF's own graphic-control delays, see
+    sample_frames) → re-encoded standalone PPMs (resize_image's output
+    format). Self-evidencing (rows-only): ``frames_ok`` per asset is true
     only if every sampled frame re-DECODES to the source animation's
     (h, w) dims — the sampled bytes are proven to be real images inside
     the query's own output. MP4/WebM stay honestly out of scope
@@ -229,7 +257,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 payload = _synth_animation_payload(int(did), text)
                 n_src = 3 + int(did) % 4
-                for i, frame in enumerate(sample_frames(payload)):
+                for i, frame in enumerate(
+                    sample_frames(payload, every_ms=100)
+                ):
                     img = decode_image(frame)
                     out["asset_id"].append(aid)
                     out["frame_idx"].append(i)

@@ -40,22 +40,17 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Ingest oracles (r8, verdict #7): DuckDB reads the SAME fixture files, so
 # header sniffing, all-text typing, cell trimming, and empty→NULL get a real
-# value-level differential instead of a rows-only count. Fixture paths are
-# embedded at import (fixture_path materializes the deterministic files, a
-# few KB under /tmp — no Spark job runs at import).
-_CSV_FIXTURE = fixture_path("people_comma.csv")
-_TSV_FIXTURE = fixture_path("people_tab.tsv")
-_MD_FIXTURE = fixture_path("people_pipe.md")
-_JSONL_FIXTURE = fixture_path("people.jsonl")
+# value-level differential instead of a rows-only count. The oracles are
+# registered as zero-arg CALLABLES (r9 ADVICE): fixture materialization
+# (file writes, gzip compression) happens at first registry access, not at
+# package import — a process importing the registry in a read-only or
+# contended temp environment fails at query/oracle time, not import time.
 
 
 def _gz_fixture() -> str:
     from omnidata_etl_spark.ingest.fixtures import fixture_gz_path
 
     return fixture_gz_path("people_comma.csv")
-
-
-_GZ_FIXTURE = _gz_fixture()
 
 
 def _people_values_sql(typed: bool) -> str:
@@ -94,8 +89,8 @@ def _people_values_sql(typed: bool) -> str:
 
 @query(
     "ingest_csv",
-    oracle=f"""
-        SELECT * FROM read_csv('{_CSV_FIXTURE}',
+    oracle=lambda: f"""
+        SELECT * FROM read_csv('{fixture_path("people_comma.csv")}',
                                header=true, all_varchar=true, delim=',')
     """,
     tags=("scan", "ingest"),
@@ -112,8 +107,8 @@ def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ingest_tsv",
-    oracle=f"""
-        SELECT * FROM read_csv('{_TSV_FIXTURE}',
+    oracle=lambda: f"""
+        SELECT * FROM read_csv('{fixture_path("people_tab.tsv")}',
                                header=true, all_varchar=true, delim='\\t')
     """,
     tags=("scan", "ingest"),
@@ -129,9 +124,9 @@ def ingest_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ingest_pipe_markdown",
-    oracle=f"""
+    oracle=lambda: f"""
         WITH raw AS (
-            SELECT * FROM read_csv('{_MD_FIXTURE}',
+            SELECT * FROM read_csv('{fixture_path("people_pipe.md")}',
                 header=false, all_varchar=true, delim='|', skip=2,
                 columns={{'edge0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
                           'c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR',
@@ -159,7 +154,7 @@ def ingest_pipe_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ingest_json",
-    oracle=f"""
+    oracle=lambda: f"""
         SELECT active, balance, full_name,
                CASE WHEN json_type(notes) = 'VARCHAR' THEN notes ->> '$'
                     -- Spark keeps the RAW object text for the
@@ -171,7 +166,7 @@ def ingest_pipe_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                END AS notes,
                person_id,
                strftime(signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
-        FROM read_json('{_JSONL_FIXTURE}')
+        FROM read_json('{fixture_path("people.jsonl")}')
     """,
     tags=("scan", "ingest"),
 )
@@ -381,8 +376,8 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ingest_csv_gzip",
-    oracle=f"""
-        SELECT * FROM read_csv('{_GZ_FIXTURE}',
+    oracle=lambda: f"""
+        SELECT * FROM read_csv('{_gz_fixture()}',
                                header=true, all_varchar=true, delim=',')
     """,
     tags=("scan", "ingest"),

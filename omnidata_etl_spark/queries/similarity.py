@@ -944,6 +944,11 @@ def _corpus_count(spark: SparkSession, sf_dir: str, name: str = "embeddings") ->
     key = (sf_dir, name, _parquet_fingerprint(sf_dir, name))
     n = cache.get(key)
     if n is None:
+        # drop superseded fingerprints for the same (sf_dir, table) so the
+        # cache stays one entry per live table instead of growing with
+        # every mid-session regeneration (r9 ADVICE)
+        for k in [k for k in cache if k[:2] == key[:2]]:
+            del cache[k]
         n = table(spark, sf_dir, name).count()
         cache[key] = n
     return n

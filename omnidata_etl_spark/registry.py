@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import importlib
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -128,7 +128,12 @@ _PRIORITY = (
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL; None => driver does a rows-only check
+    # DuckDB SQL; None => driver does a rows-only check. May be REGISTERED
+    # as a zero-arg callable returning the SQL (r9 ADVICE: oracles whose
+    # text embeds a materialized fixture path defer the file write from
+    # module import to first registry access) — all_specs() resolves
+    # callables to strings before any consumer sees the spec.
+    oracle: str | None
     tags: tuple[str, ...]
 
 
@@ -136,8 +141,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
 
-def query(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Decorator registering a declared query builder."""
+def query(name: str, *, oracle=None, tags: tuple[str, ...] = ()):
+    """Decorator registering a declared query builder. ``oracle``: DuckDB
+    SQL string, a zero-arg callable returning one (resolved lazily at
+    first all_specs() access — see QuerySpec), or None for rows-only."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
@@ -274,6 +281,11 @@ def all_specs() -> dict[str, QuerySpec]:
     order: _PRIORITY (SURVEY §2B) first, then remaining oracle-checked
     queries in module order, then rows-only queries."""
     _load()
+    # resolve lazily-declared oracles ONCE (fixture files materialize
+    # here, at first registry access, never at module import — r9 ADVICE)
+    for n, spec in _REGISTRY.items():
+        if callable(spec.oracle):
+            _REGISTRY[n] = replace(spec, oracle=spec.oracle())
     prio = {name: i for i, name in enumerate(_PRIORITY)}
     rest = [n for n in _REGISTRY if n not in prio]
     ordered = list(_PRIORITY)

@@ -81,14 +81,20 @@ def test_binary_assets_ingest_self_evidencing(spark, sf_dir):
 
 
 def test_frame_sample_real_gif_animation(spark, sf_dir):
-    """r8: multimodal_frame_sample decodes REAL animated GIFs. Every video
-    asset must sample min(4, src_frames) frames, every sampled frame must
-    re-decode to the animation's dims (frames_ok — the query's own
-    self-evidence), and the sampled bytes must be standalone GIFs whose
-    pixels match the source animation's corresponding frames."""
+    """r8/r9: multimodal_frame_sample decodes REAL animated GIFs with
+    TIME-BASED sampling (one frame per every_ms of animation time, read
+    from the GIF's own graphic-control delays). Every video asset must
+    sample min(4, src_frames) frames at the query's every_ms=100 on the
+    100 ms synth animations, every sampled frame must re-decode to the
+    animation's dims (frames_ok — the query's own self-evidence), and the
+    sampled bytes must be standalone images whose pixels match the source
+    animation's time-selected frames."""
     import numpy as np
 
-    from omnidata_etl_spark.codecs import decode_gif_frames, decode_image
+    from omnidata_etl_spark.codecs import (
+        decode_gif_frames_with_delays,
+        decode_image,
+    )
     from omnidata_etl_spark.queries.multimodal import (
         _synth_animation_payload,
         sample_frames,
@@ -101,15 +107,27 @@ def test_frame_sample_real_gif_animation(spark, sf_dir):
         assert r["frames_ok"] is True
         assert r["n_frames"] == min(4, r["src_frames"])
 
-    # unit-level: sampled frames are the right source frames, pixel-exact
-    payload = _synth_animation_payload(5, "hello frame sampler")  # 3+5%4 = 4 frames
-    src = decode_gif_frames(payload)
-    sampled = sample_frames(payload)
-    assert len(sampled) == min(4, len(src))
-    n = len(sampled)
-    picks = [round(i * (len(src) - 1) / max(1, n - 1)) for i in range(n)]
-    for frame_bytes, p in zip(sampled, picks):
+    # unit-level: every_ms is honored against the GIF's own delays
+    payload = _synth_animation_payload(5, "hello frame sampler")  # 4 frames
+    src, delays = decode_gif_frames_with_delays(payload)
+    assert len(src) == 4 and delays == [10, 10, 10, 10]  # 100 ms each
+
+    # every_ms == frame period: frames 0,1,2,3
+    sampled = sample_frames(payload, every_ms=100)
+    assert len(sampled) == 4
+    for frame_bytes, p in zip(sampled, [0, 1, 2, 3]):
         assert np.array_equal(decode_image(frame_bytes), src[p])
+
+    # every_ms == 2x frame period: the frames displayed at 0 ms and 200 ms
+    sampled2 = sample_frames(payload, every_ms=200)
+    assert len(sampled2) == 2
+    for frame_bytes, p in zip(sampled2, [0, 2]):
+        assert np.array_equal(decode_image(frame_bytes), src[p])
+
+    # every_ms beyond the animation's 400 ms duration: first frame only
+    sampled3 = sample_frames(payload, every_ms=1000)
+    assert len(sampled3) == 1
+    assert np.array_equal(decode_image(sampled3[0]), src[0])
 
     # non-GIF media keeps the documented byte-slice stub
     stub = sample_frames(b"\x00\x01" * 40)
