@@ -1038,3 +1038,88 @@ def test_random_join_shape_differential_vs_duckdb(spark, sf_dir):
                 "row-count mismatch",
             )
         )
+
+
+def test_random_multiway_join_tree_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over multi-way join TREES (r9, the 16th layer):
+    40 seeded random 3-table compositions — chain
+    (lineitem⋈orders⋈customer) or star (orders center: lineitem fact
+    edge + customer dim edge) — with per-table random filters, a random
+    outer/inner mix on the two join edges, and grouped count/sum
+    aggregates. This is the join-REORDERING and null-propagation surface
+    (an outer edge feeding an inner edge must not be reordered through;
+    Catalyst and DuckDB both rewrite these trees aggressively, so
+    agreement is strong evidence the rewrites preserve semantics). 10
+    cases per engine query via UNION ALL."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for t in ("lineitem", "orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_mwfuzz")
+
+    def case_sql(i, rng, names):
+        li, o, c = names
+        qcap = rng.randint(8, 45)
+        pcap = rng.randint(40000, 220000)
+        seg = rng.choice(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        )
+        j1 = rng.choice(["JOIN", "LEFT JOIN"])
+        j2 = rng.choice(["JOIN", "LEFT JOIN"])
+        shape = rng.choice(["chain", "star"])
+        if shape == "chain":
+            # lineitem -> orders -> customer, filters pushed at random depths
+            return (
+                f"SELECT {i} AS cid, COUNT(*) AS nrows, "
+                f"COUNT(c.c_custkey) AS nc, "
+                f"SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS sv "
+                f"FROM (SELECT * FROM {li} WHERE l_quantity <= {qcap}) l "
+                f"{j1} (SELECT * FROM {o} WHERE o_totalprice < {pcap}) o2 "
+                f"ON l.l_orderkey = o2.o_orderkey "
+                f"{j2} (SELECT * FROM {c} WHERE c_mktsegment = '{seg}') c "
+                f"ON o2.o_custkey = c.c_custkey"
+            )
+        # star: orders at the center, lineitem fact edge + customer dim edge
+        return (
+            f"SELECT {i} AS cid, COUNT(*) AS nrows, "
+            f"COUNT(l.l_orderkey) AS nc, "
+            f"SUM(CAST(round(o2.o_totalprice) AS BIGINT)) AS sv "
+            f"FROM (SELECT * FROM {o} WHERE o_totalprice < {pcap}) o2 "
+            f"{j1} (SELECT * FROM {li} WHERE l_quantity <= {qcap}) l "
+            f"ON o2.o_orderkey = l.l_orderkey "
+            f"{j2} (SELECT * FROM {c} WHERE c_mktsegment = '{seg}') c "
+            f"ON o2.o_custkey = c.c_custkey"
+        )
+
+    spark_names = ("lineitem_mwfuzz", "orders_mwfuzz", "customer_mwfuzz")
+    duck_names = ("lineitem", "orders", "customer")
+    s_cases = []
+    d_cases = []
+    rng_s = random.Random(0x37AB1E)
+    for i in range(40):
+        # one RNG drives both engines' texts so the cases are identical
+        state = rng_s.getstate()
+        s_cases.append(case_sql(i, rng_s, spark_names))
+        rng_s.setstate(state)
+        d_cases.append(case_sql(i, rng_s, duck_names))
+    for lo in range(0, 40, 10):
+        s_sql = " UNION ALL ".join(s_cases[lo : lo + 10])
+        d_sql = " UNION ALL ".join(d_cases[lo : lo + 10])
+        a = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+        b = sorted(
+            tuple(None if v is None else int(v) for v in r)
+            for r in con.execute(d_sql).fetchall()
+        )
+        assert a == b, f"batch {lo}: " + next(
+            (f"{x} vs {y}" for x, y in zip(a, b) if x != y),
+            "row-count mismatch",
+        )
