@@ -1123,3 +1123,94 @@ def test_random_multiway_join_tree_differential_vs_duckdb(spark, sf_dir):
             (f"{x} vs {y}" for x, y in zip(a, b) if x != y),
             "row-count mismatch",
         )
+
+
+def test_random_full_pipeline_differential_vs_duckdb(spark, sf_dir):
+    """Differential fuzz over END-TO-END pipelines (r9, the 17th layer):
+    30 seeded random full queries — filter → optional lineitem⋈orders
+    join → GROUP BY + exact integer aggregates → HAVING → ranking window
+    over the grouped rows → total-order ORDER BY + LIMIT — the
+    composition every earlier layer exercises one slice of. A pipeline
+    case traverses predicate pushdown, join planning, partial/final
+    aggregation, HAVING-to-filter rewrite, window-after-agg, and
+    TakeOrdered in ONE plan, so cross-operator rewrite bugs (a pushed
+    filter reordered past an outer join, a HAVING folded into the wrong
+    aggregate) surface here even when each operator passes alone. All
+    aggregates are integer-exact (counts, cent sums, int extrema) and the
+    window/order keys are total, so the comparison is value-exact."""
+    import random
+
+    import duckdb
+
+    from omnidata_etl_spark.catalog import table
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_plfuzz")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("o_plfuzz")
+
+    def pred(rng):
+        leaves = []
+        for _ in range(rng.randint(1, 3)):
+            kind = rng.choice(["q", "flag", "price"])
+            if kind == "q":
+                leaves.append(
+                    f"l_quantity {rng.choice(['<=', '>='])} {rng.randint(5, 45)}"
+                )
+            elif kind == "flag":
+                leaves.append(f"l_returnflag = '{rng.choice(['A', 'N', 'R'])}'")
+            else:
+                leaves.append(
+                    f"l_extendedprice < {rng.randint(10000, 90000)}"
+                )
+        return f" {rng.choice(['AND', 'OR'])} ".join(leaves)
+
+    def case_sql(rng, li, o):
+        joined = rng.random() < 0.5
+        keys = rng.sample(
+            ["l_returnflag", "l_linestatus",
+             f"CAST(l_quantity AS INT) % {rng.randint(2, 5)}"],
+            k=rng.randint(1, 2),
+        )
+        if joined:
+            keys.append("o_orderpriority")
+        key_aliases = [f"k{j}" for j in range(len(keys))]
+        key_sel = ", ".join(
+            f"{k} AS {a}" for k, a in zip(keys, key_aliases)
+        )
+        src = (
+            f"{li} JOIN {o} ON l_orderkey = o_orderkey" if joined else li
+        )
+        h = rng.randint(2, 60)
+        lim = rng.randint(3, 12)
+        wfn = rng.choice(["RANK()", "DENSE_RANK()", "ROW_NUMBER()"])
+        ks = ", ".join(key_aliases)
+        return (
+            f"WITH g AS ("
+            f"  SELECT {key_sel}, COUNT(*) AS n, "
+            f"         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s, "
+            f"         MAX(CAST(l_quantity AS INT)) AS mx "
+            f"  FROM {src} WHERE {pred(rng)} "
+            f"  GROUP BY {ks} HAVING COUNT(*) > {h}"
+            f") "
+            f"SELECT {ks}, n, s, mx, "
+            f"       {wfn} OVER (ORDER BY s DESC, {ks}) AS rnk "
+            f"FROM g ORDER BY rnk, {ks} LIMIT {lim}"
+        )
+
+    rng = random.Random(0xF17E)
+    for i in range(30):
+        state = rng.getstate()
+        s_sql = case_sql(rng, "li_plfuzz", "o_plfuzz")
+        rng.setstate(state)
+        d_sql = case_sql(rng, "lineitem", "orders")
+        a = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+        b = sorted(
+            tuple(int(v) if isinstance(v, (int,)) else v for v in r)
+            for r in con.execute(d_sql).fetchall()
+        )
+        assert a == b, f"case {i}: {d_sql}\n{a[:3]} vs {b[:3]}"
