@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from omnidata_etl_spark.catalog import table
 from omnidata_etl_spark.queries._util import spread
 from omnidata_etl_spark.registry import query
+from omnidata_etl_spark.session import default_parallelism
 
 EMBED_DIM = 64
 LSH_PLANES = 8  # 2^8 = 256 buckets
@@ -619,17 +620,24 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Self-evidencing like the LSH/IVF/PQ siblings, but BOUNDED (r9,
     VERDICT r8 #3): ``in_probed_exact_topk`` flags membership in the
-    exact squared-L2 top-10 *within the probed cells* — the evidence
-    pass assigns each row its coarse cell with a light centroid-argmin
-    UDF and applies the probe filter BEFORE any exact distance work, so
-    its cost scales with the same NPROBE/K corpus fraction as the search
+    exact squared-L2 top-10 *within the probed cells*, so the evidence
+    cost scales with the same NPROBE/K corpus fraction as the search
     itself instead of rescanning the full corpus (the r8 ×50 probe
-    measured 4.3× growth and attributed the slope to the old full brute
-    pass; self-evidence must not set the op's asymptotics). Exact
-    ranking conditioned on the probe list is precisely what ADC-over-
-    residual-codes claims to approximate; coarse-quantizer recovery
-    (probing does not miss the true cell on separable data) is pinned
-    separately in tests (test_ivf_pq_residual_composition_on_clusters)."""
+    measured 4.3× growth on the old full brute pass; self-evidence must
+    not set the op's asymptotics). Exact ranking conditioned on the
+    probe list is precisely what ADC-over-residual-codes claims to
+    approximate; coarse-quantizer recovery (probing does not miss the
+    true cell on separable data) is pinned separately in tests
+    (test_ivf_pq_residual_composition_on_clusters).
+
+    Single-encode form (r9): BOTH top-10s (approx ADC and exact) read
+    one repartition exchange of the probed rows' (vec_id, approx_d2,
+    exact_d2) triple — plain-exchange consumers get ReusedExchange (only
+    BROADCAST consumers don't, the r3 finding), so the Arrow encode UDF
+    and the per-row distance work run exactly once per execution and the
+    two TakeOrdereds read shuffled 3-column rows. The exchange moves only
+    the probed fraction at 20 bytes/row — at 100 TB that is the cheap
+    side of the trade against a second full-corpus Arrow pass."""
     import numpy as np
     import pandas as pd
 
@@ -681,9 +689,17 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = spread(emb).select(
         "vec_id", "embedding", ivfpq_enc(F.col("embedding")).alias("cc")
     )
+    qe_sql = "array({})".format(", ".join(repr(float(v)) for v in qv))
+    exact_d2 = F.expr(
+        f"aggregate(zip_with(cast(embedding AS array<double>), {qe_sql}, "
+        "(x, q) -> (x - q) * (x - q)), 0.0d, (acc, x) -> acc + x)"
+    )
     # pos = 1-based index of this row's cell in the probe list (NULL →
-    # unprobed cell, filtered before any distance work)
-    approx = (
+    # unprobed cell, filtered before any distance work — BOTH the ADC
+    # lookups and the exact fold run only on probed rows). The 3-column
+    # scored frame is repartitioned so its exchange is shared by the two
+    # TakeOrdered consumers (single-encode form, docstring).
+    scored = (
         coded.withColumn(
             "pos", F.expr(f"array_position({probe_sql}, cc[0])")
         )
@@ -699,31 +715,17 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             ).alias("approx_d2"),
+            exact_d2.alias("exact_d2"),
         )
+        .repartition(default_parallelism())
+    )
+    approx = (
+        scored.select("vec_id", "approx_d2")
         .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
         .limit(10)
     )
-    # Evidence pass, probe-bounded: cell assignment needs only the
-    # centroid argmin (a third of the full encode), and the probe filter
-    # sits below the exact-distance projection so unprobed rows do NO
-    # distance algebra — same plan discipline as the ADC scan above.
-    def _cell(s):
-        x = np.asarray(s.tolist(), dtype=np.float64)
-        return pd.Series(_sq_dists(x, cents).argmin(axis=1).astype(np.int32))
-
-    _cell.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    ivf_cell = F.pandas_udf(_cell, "int")
-    qe_sql = "array({})".format(", ".join(repr(float(v)) for v in qv))
-    exact_d2 = F.expr(
-        f"aggregate(zip_with(cast(embedding AS array<double>), {qe_sql}, "
-        "(x, q) -> (x - q) * (x - q)), 0.0d, (acc, x) -> acc + x)"
-    )
     brute = (
-        spread(emb)
-        .filter(F.col("vec_id") != 0)
-        .withColumn("cid", ivf_cell(F.col("embedding")))
-        .filter(F.expr(f"array_position({probe_sql}, cid) > 0"))
-        .select("vec_id", exact_d2.alias("b_d2"))
+        scored.select("vec_id", F.col("exact_d2").alias("b_d2"))
         .orderBy(F.asc("b_d2"), F.asc("vec_id"))
         .limit(10)
         .select(F.col("vec_id").alias("b_vec_id"))
