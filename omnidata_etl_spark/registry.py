@@ -167,6 +167,7 @@ NO_PREPARE = frozenset(
         "ann_ivf_topk",  # centroid training sample toPandas at build
         "ann_pq_topk",  # PQ codebook training sample toPandas at build
         "ann_ivf_pq_topk",  # coarse + residual-PQ training at build
+        "ann_ivf_served_index",  # partitioned index WRITE at build
         "text_bpe_train_apply",  # vocab collect + BPE merge learning at build
         # sink demos: the parquet WRITE is the query and runs at build
         "sink_partitioned",

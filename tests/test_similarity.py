@@ -332,3 +332,50 @@ def test_ann_ivf_pq_topk_structural(spark, sf_dir):
     exact10 = set(ids[mask][order[:10]].tolist())
     for r in rows:
         assert r.in_probed_exact_topk == (r.vec_id in exact10)
+
+
+def test_ann_ivf_served_index_pruning_and_ranking(spark, sf_dir):
+    """r9 served-index layout: the query's top-10 must equal an
+    independently computed exact top-10 over the probed cells (numpy,
+    same quantizer sample), the pruned-fraction evidence columns must
+    reflect the real directory layout, and the scan must carry a
+    PartitionFilter on cid — partition pruning proven in the plan, not
+    assumed."""
+    import numpy as np
+
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.similarity import (
+        IVF_NPROBE,
+        _sq_dists,
+        _train_sample,
+        ivf_centroids,
+    )
+    from omnidata_etl_spark.registry import all_specs
+
+    df = all_specs()["ann_ivf_served_index"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cid" in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r.n_cells_probed == IVF_NPROBE for r in rows)
+    assert all(r.n_cells_probed < r.n_cells_total for r in rows)
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, by_id = ivf_centroids(emb, sample=_train_sample(emb))
+    qv = np.asarray(by_id[0], dtype=np.float64)
+    probe = set(
+        np.argsort(((cents - qv) ** 2).sum(axis=1), kind="stable")[
+            :IVF_NPROBE
+        ].tolist()
+    )
+    pdf = emb.toPandas()
+    xs = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    cid = _sq_dists(xs, cents).argmin(axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    mask = (ids != 0) & np.isin(cid, list(probe))
+    d2 = np.round(((xs[mask] - qv) ** 2).sum(axis=1), 4)
+    order = np.lexsort((ids[mask], d2))
+    want = [int(v) for v in ids[mask][order[:10]]]
+    assert [r.vec_id for r in rows] == want
