@@ -287,3 +287,69 @@ def test_transform_with_state_user_totals(spark, sf_dir):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_random_window_agg_stream_equals_batch(spark, sf_dir):
+    """Randomized batch↔stream equivalence fuzz (r9): 5 seeded random
+    tumbling-window aggregations — random window width, grouping key,
+    pre-filter, and exact-aggregate set — each executed BOTH as a
+    Structured Streaming query (file source → complete-mode memory sink,
+    drained with processAllAvailable) and as the equivalent batch
+    groupBy over the same events table. The streaming engine's
+    incremental state maintenance must reproduce batch semantics exactly
+    for every sampled spec, not just the one fixed hour/event_type shape
+    the declared queries pin. Sums compare on exact cents (int64), so
+    float accumulation order cannot blur the equality."""
+    import random
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries.streaming import _event_stream, _stop
+
+    rng = random.Random(0x57E4)
+    batch_ev = table(spark, sf_dir, "events")
+    for case in range(5):
+        minutes = rng.choice([13, 30, 45, 60, 90, 150])
+        key = rng.choice(
+            [F.col("event_type"), (F.col("user_id") % rng.randint(3, 9))]
+        ).alias("k")
+        vmax = rng.randint(30, 900)
+        flt = F.col("value") < vmax
+        aggs = [
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        ]
+        if rng.random() < 0.5:
+            aggs.append(
+                F.max(F.round(F.col("value") * 100).cast("bigint")).alias("mx")
+            )
+
+        def shape(df):
+            return (
+                df.where(flt)
+                .groupBy(F.window("ts", f"{minutes} minutes"), key)
+                .agg(*aggs)
+                .select(
+                    F.col("window.start").cast("string").alias("w"),
+                    "*",
+                )
+                .drop("window")
+            )
+
+        qname = f"bvs_fuzz_{uuid.uuid4().hex[:8]}"
+        q = (
+            shape(_event_stream(spark, sf_dir))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(map(tuple, spark.table(qname).collect()))
+        finally:
+            _stop(q)
+        want = sorted(map(tuple, shape(batch_ev).collect()))
+        assert got == want, f"case {case}: {minutes}min window diverged"
