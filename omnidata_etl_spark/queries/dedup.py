@@ -404,18 +404,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractions.
     """
     docs = table(spark, sf_dir, "documents")
-    fps = _simhash_frame(docs)
-    # Self-evidencing: planted near-identical pairs (the shared 40-doc
-    # probe) must land within Hamming distance 8 of their originals under
-    # the SAME fingerprint pipeline — `planted_close_rate` broadcasts the
-    # proof onto every row (1.0 in the driver's rows-only artifact).
-    originals, probe_corpus, _OFF = _probe_corpus(spark, sf_dir)
-    pf = _simhash_frame(probe_corpus)
-    a = pf.select(F.col("doc_id").alias("ida"), F.col("simhash64").alias("fa"))
-    b = pf.select(
+    # Self-evidencing: planted near-identical pairs must land within
+    # Hamming distance 8 of their originals under the SAME fingerprint
+    # pipeline — `planted_close_rate` broadcasts the proof onto every row
+    # (1.0 in the driver's rows-only artifact).
+    #
+    # SINGLE-PASS probe (r9, the dedup_embedding_cosine trick): the 20
+    # perturbed copies (leading token dropped, ids offset — the same
+    # perturbation as _probe_corpus) ride the MAIN corpus through ONE
+    # _simhash_frame pipeline. The previous separate 40-doc probe pipeline
+    # cost more in job-ladder overhead than the entire corpus hash
+    # (decomposed r9: corpus frame 0.4-0.5 s vs 1.8-3.3 s full query in
+    # the same session). The fork-the-shared-plan concern recorded in
+    # _planted_recall's docstring does not apply here: no other query
+    # consumes a cached _simhash_frame(docs) plan. The unioned frame is
+    # persisted — 16 bytes/row — for its three consumers (output, probe
+    # a-side, probe b-side).
+    _OFF = 10_000_000_000  # sentinel id offset, far above any real doc_id
+    copies = docs.select(
+        (F.col("doc_id") + _OFF).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    ).filter(F.col("doc_id") < _OFF + 20)
+    frame = _simhash_frame(
+        docs.select("doc_id", "text").unionByName(copies)
+    ).persist()
+    fps = frame.filter(F.col("doc_id") < _OFF)
+    a = frame.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("ida"), F.col("simhash64").alias("fa")
+    )
+    b = frame.filter(F.col("doc_id") >= _OFF).select(
         (F.col("doc_id") - _OFF).alias("ida"),
         F.col("simhash64").alias("fb"),
-    ).where(F.col("ida") >= 0)
+    )
     close = (
         a.join(b, "ida")
         .agg(
@@ -434,8 +454,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "planted_close_rate"
             )
         )
-        .persist()  # 1-row deterministic — same cache discipline as
-        # _planted_recall
     )
     return fps.crossJoin(F.broadcast(close))
 
