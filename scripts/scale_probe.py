@@ -104,8 +104,12 @@ PROBE_QUERIES = (
     "similarity_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_served_index",
     "embedding_quantize_int8",
     "dedup_embedding_cosine",
+    "dedup_incremental_delta",
     # ETL / quality / multimodal
     "etl_sample_stratified",
     "etl_sample_quality_weighted",
