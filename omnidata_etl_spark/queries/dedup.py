@@ -751,18 +751,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram (token trigram) Jaccard ≥ 0.6, with
     MinHash-LSH candidate generation over the same shingles. Rows-only.
 
-    Self-evidencing (same probe as dedup_near_minhash, at n=3):
-    ``planted_recall`` is the fraction of 20 (original, perturbed-copy)
-    pairs the same shingle→minhash→band→join→verify stack recovers on a
-    40-doc mini-corpus — the trigram machinery's own proof in the driver's
-    rows-only artifact."""
-    shingle_sets = _shingle_sets(spark, sf_dir, n=3).persist()
+    Self-evidencing, SINGLE-PASS probe (r9 — the dedup_embedding_cosine /
+    dedup_simhash trick): the 20 planted (original, leading-token-dropped
+    copy) pairs ride the MAIN corpus through one shingle→minhash→band→
+    verify pass, and ``planted_recall`` is read off the same pair frame
+    (doc_b = doc_a + offset ⟺ a copy met its original). The separate
+    40-doc probe pipeline was pure job-ladder cost on top of the corpus
+    pass; unlike the n=5 minhash queries this query's n=3 shingle plan is
+    consumed by NOBODY else, so planting into it forks no shared cache
+    (the trade _planted_recall's docstring documents for the n=5 family).
+    Corpus-pair output is value-identical: copy-involving candidates are
+    filtered after the (tiny) extra verify work, and corpus docs' band
+    hashes are unchanged by the 20 riders."""
+    _OFF = 10_000_000_000  # sentinel id offset, far above any real doc_id
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + _OFF).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    shingle_sets = _shingle_sets_of(
+        docs.unionByName(copies), n=3
+    ).persist()
     sigs = minhash_signatures(shingle_sets)
     cands = lsh_candidate_pairs(sigs)
-    pairs = exact_jaccard(cands, shingle_sets).filter(
+    all_pairs = exact_jaccard(cands, shingle_sets).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
+    ).persist()
+    main = all_pairs.filter(
+        (F.col("doc_a") < _OFF) & (F.col("doc_b") < _OFF)
     )
-    return pairs.crossJoin(F.broadcast(_planted_recall(spark, sf_dir, n=3)))
+    # denominator = planted count: min(20, corpus) by the contiguous-id
+    # contract; memoized table count (similarity._corpus_count pattern)
+    from omnidata_etl_spark.queries.similarity import _corpus_count
+
+    n_pl = max(1, min(20, _corpus_count(spark, sf_dir, "documents")))
+    recall = (
+        all_pairs.filter(F.col("doc_b") == F.col("doc_a") + _OFF)
+        .agg(F.count(F.lit(1)).alias("n_found"))
+        .select(
+            (F.col("n_found").cast("double") / F.lit(float(n_pl))).alias(
+                "planted_recall"
+            )
+        )
+    )
+    return main.crossJoin(F.broadcast(recall))
 
 
 @query("dedup_incremental_delta", tags=("dedup", "lsh", "incremental"))
