@@ -488,3 +488,36 @@ def test_gif_animation_property_roundtrip():
         assert len(dec) == n_frames, f"case {case}"
         for f, d in zip(frames, dec):
             assert np.array_equal(f, d), f"case {case}"
+
+
+def test_gif_animation_delay_roundtrip_property():
+    """r9: decode_gif_frames_with_delays must recover the exact per-frame
+    graphic-control delay encode_gif_animation wrote, across the full
+    uint16 centisecond range (the time base every_ms frame sampling
+    stands on)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from omnidata_etl_spark.codecs import (
+        decode_gif_frames_with_delays,
+        encode_gif_animation,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        delay=st.integers(0, 65535),
+        n=st.integers(2, 4),
+        seed=st.integers(0, 2**16),
+    )
+    def check(delay, n, seed):
+        rng = np.random.RandomState(seed)
+        base = rng.randint(0, 255, (5, 7, 3), dtype=np.uint8)
+        frames = [np.roll(base, i, axis=0) for i in range(n)]
+        payload = encode_gif_animation(frames, delay_cs=delay)
+        out, delays = decode_gif_frames_with_delays(payload)
+        assert delays == [delay] * n
+        for a, b in zip(out, frames):
+            assert np.array_equal(a, b)
+
+    check()
