@@ -558,7 +558,21 @@ def grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", scaled.alias("scaled"))
 
 
-@query("grouped_minmax_scale_arrow", tags=("udf", "pandas", "arrow", "ml"))
+@query(
+    "grouped_minmax_scale_arrow",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN vmax = vmin THEN 0.5
+                    ELSE (value - vmin) / (vmax - vmin) END AS scaled
+        FROM (
+            SELECT event_id, value,
+                   MIN(value) OVER (PARTITION BY user_id) AS vmin,
+                   MAX(value) OVER (PARTITION BY user_id) AS vmax
+            FROM events
+        ) e
+    """,
+    tags=("udf", "pandas", "arrow", "ml"),
+)
 def grouped_minmax_scale_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user min-max scaling via the grouped batch-apply UDF surface —
     `applyInArrow`, the Arrow-native sibling of `applyInPandas` (same
@@ -572,9 +586,11 @@ def grouped_minmax_scale_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it never amortizes at 100 TB. The applyInPandas form is pinned
     value-identical in tests/test_multimodal.py (the API remains fully
     supported; pick it when the per-group logic genuinely needs pandas).
-    Rows-only demo: numerically identical to grouped_minmax_scale (min/max
-    exact over 2dp values; one fixed double division), whose pure window
-    expressions remain the true scale path."""
+    Oracle-checked since r9: numerically identical to grouped_minmax_scale
+    (min/max exact over 2dp values; one fixed double division — pyarrow's
+    subtract/divide are the same IEEE doubles the window form computes),
+    so the same DuckDB window oracle gates the Arrow UDF path; the pure
+    window form remains the true scale path."""
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return ev.groupBy("user_id").applyInArrow(
         _scale_arrow, schema="event_id long, scaled double"
