@@ -25,13 +25,18 @@ EMBED_DIM = 64
 LSH_PLANES = 8  # 2^8 = 256 buckets
 # Corpus size above which banded LSH hashing switches from the SQL
 # expression path to the Arrow/BLAS matmul path (see banded_lsh_buckets).
-# r7 measured SQL ahead at 2k vectors under the stage-reuse regime; the r9
-# interleaved A/B under the DRIVER regime (cold cache, plan rebuilt per
-# run, min-of-8) measured numpy ahead already at 2k (1.63 s vs 1.78 s min,
-# 1.92 vs 2.19 med) and 2.6× ahead at 100k, so the gate sits at the bench
-# corpus size; below it (500-vector sf0.01) the Python-worker round-trip
-# still dominates and SQL keeps winning.
-NUMPY_LSH_MIN_N = 2_000
+# Pinned by the r10 crossover sweep (scripts/ab_lsh_crossover_r10.py —
+# full dedup_embedding_cosine, driver regime: fresh QueryExecution per
+# run, cold cache, min-of-N interleaved): SQL wins at 2k (1.17 vs 1.82 s
+# min), the two tie at 8k (2.89 vs 2.48 min / 3.32 vs 3.80 med), numpy
+# wins 1.5× at 32k (5.33 vs 3.46) and 3.2× at 128k (21.3 vs 6.6) — the
+# interpreted-lambda hashing grows super-linearly in wall terms once the
+# B·r·dim work dwarfs the Python-worker round-trip. The r9 gate move to
+# the 2k bench corpus was measured under a loaded local session and did
+# NOT transfer to the driver artifact (BENCH_r09 1.34→1.67 s regression,
+# root-caused r10); the driver-regime A/B (scripts/ab_embcos_r10.py)
+# reads SQL min 1.17 / med 1.32 vs numpy min 1.82 / med 2.06 at 2k.
+NUMPY_LSH_MIN_N = 8_192
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -861,8 +866,9 @@ def banded_lsh_buckets(
     Arrow pandas_udf path computes the same sign bits as ONE BLAS matmul
     per batch (bucket parity with the SQL path verified exactly: 0
     mismatches over a full corpus at r=18). At small n the Python-worker
-    round-trip dominates (measured 0.65-0.78 s vs 0.37-0.55 s SQL at
-    2 000 vectors), so callers gate it on corpus size — see
+    round-trip dominates (r10 driver-regime sweep: SQL ahead at 2 000
+    vectors, 1.17 vs 1.82 s min full-query; tied at 8k; numpy 1.5× ahead
+    at 32k, 3× at 128k), so callers gate it on corpus size — see
     blocked_cosine_pairs' NUMPY_LSH_MIN_N. Same output schema either way;
     bucket parity is verified empirically (0 mismatches over a full corpus
     at r=18) but not guaranteed bit-for-bit — the matmul and the SQL
