@@ -89,6 +89,7 @@ RATIO_EXCLUDE = {
     "ingest_json": "fixture-scale ingest demo (6-row file, not sf-scaled)",
     "ingest_csv_gzip": "fixture-scale ingest demo (6-row file, not sf-scaled)",
     "ingest_xlsx": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
+    "ingest_xls": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
     "ingest_xml": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
 }
 

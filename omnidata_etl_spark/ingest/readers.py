@@ -154,16 +154,46 @@ def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
     return df.select(*out)
 
 
+def _rows_to_df(spark: SparkSession, rows: list) -> DataFrame:
+    """Header-row + body cell-string grid → all-text DataFrame (shared by
+    the xlsx and legacy-xls paths)."""
+    if not rows:
+        return spark.createDataFrame([], T.StructType([]))
+    headers = [h or f"col{i}" for i, h in enumerate(rows[0])]
+    schema = T.StructType(
+        [T.StructField(h, T.StringType(), True) for h in headers]
+    )
+    body = [tuple(r[: len(headers)]) + (None,) * (len(headers) - len(r))
+            for r in rows[1:]]
+    return _empty_to_null(spark.createDataFrame(body, schema))
+
+
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel scan (R3): first sheet, header row, blank cells → NULL
     (reference `defval:""` normalized to NULL per R10; /root/reference
-    backend/index.js:93-96,:200-205).
+    backend/index.js:93-96,:200-205; the reference accepts both .xlsx and
+    legacy .xls, frontend/src/App.jsx:172).
 
-    Prefers pandas+openpyxl when present; otherwise falls back to the
-    built-in minimal XLSX reader (ingest/xlsx.py) — shared/inline strings
-    and numeric cells, which covers the reference's ingestion semantics.
+    Dispatches on CONTENT, not extension (r10 — a mislabeled upload should
+    parse by what it is): the OLE2 magic routes to the built-in BIFF8
+    reader (ingest/xls_biff.py); zip-magic workbooks prefer
+    pandas+openpyxl when present, else the built-in minimal XLSX reader
+    (ingest/xlsx.py) — shared/inline strings and numeric cells, which
+    covers the reference's ingestion semantics.
     """
     ensure_tuned(spark)
+    from omnidata_etl_spark.ingest.xls_biff import OLE_MAGIC, read_xls_rows
+
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == OLE_MAGIC:
+        return _rows_to_df(spark, read_xls_rows(path))
+    if magic[:2] != b"PK":
+        raise ValueError(
+            f"{path}: not an Excel workbook — neither OLE2 (.xls) nor "
+            "zip (.xlsx) magic bytes; re-export the file from a "
+            "spreadsheet application"
+        )
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
@@ -174,16 +204,7 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
     except ImportError:
         from omnidata_etl_spark.ingest.xlsx import read_xlsx_rows
 
-        rows = read_xlsx_rows(path)
-        if not rows:
-            return spark.createDataFrame([], T.StructType([]))
-        headers = [h or f"col{i}" for i, h in enumerate(rows[0])]
-        schema = T.StructType(
-            [T.StructField(h, T.StringType(), True) for h in headers]
-        )
-        body = [tuple(r[: len(headers)]) + (None,) * (len(headers) - len(r))
-                for r in rows[1:]]
-        return _empty_to_null(spark.createDataFrame(body, schema))
+        return _rows_to_df(spark, read_xlsx_rows(path))
 
 
 _EXT_READERS = {

