@@ -174,7 +174,9 @@ def fixture_gz_path(name: str) -> str:
         with gzip.open(path, "rb") as f:
             if f.read() == want:
                 return path
-    except OSError:
+    # EOFError/BadGzipFile: a truncated/corrupt .gz left by an interrupted
+    # prior run must trigger the rewrite, not escape (r9 ADVICE)
+    except (OSError, EOFError):
         pass
     tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "wb") as raw:

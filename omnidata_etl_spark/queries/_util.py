@@ -179,3 +179,35 @@ def davg(expr: Column, count: Column | None = None) -> Column:
     repr, DuckDB the exact binary)."""
     n = count if count is not None else F.count(expr)
     return F.sum(expr.cast(DEC)).cast("double") / n
+
+
+def session_df_memo(spark, key: tuple, build) -> DataFrame:
+    """Session-scoped persisted-DataFrame memo (r10, r9 ADVICE #3).
+
+    Repeated query BUILDS in one long-lived session previously persisted a
+    FRESH O(corpus) frame per build and never unpersisted it — each call
+    creates a new plan, so the cache manager accumulates entries. The memo
+    returns one shared frame per logical key; keys embed the source parquet
+    fingerprint (similarity._parquet_fingerprint), so a regenerated table
+    unpersists and evicts the superseded entry instead of pinning stale
+    data (the _corpus_count discipline). key = (kind, sf_dir, fingerprint,
+    ...); pruning matches on (kind, sf_dir). A persisted frame INSIDE a
+    memoized plan (e.g. a shingle-set feeding a pair frame) is not
+    individually tracked: on fingerprint invalidation only the top frame is
+    unpersisted and the inner one ages out with the session — a one-off,
+    regeneration-only leak accepted for the build()-closure simplicity."""
+    cache = getattr(spark, "_omnidata_df_memo", None)
+    if cache is None:
+        cache = {}
+        spark._omnidata_df_memo = cache
+    df = cache.get(key)
+    if df is None:
+        for k in [k for k in cache if k[:2] == key[:2]]:
+            try:
+                cache[k].unpersist()
+            except Exception:
+                pass
+            del cache[k]
+        df = build()
+        cache[key] = df
+    return df

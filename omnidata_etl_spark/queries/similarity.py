@@ -1031,8 +1031,20 @@ def _parquet_fingerprint(sf_dir: str, name: str) -> tuple:
         return ()
 
 
-def _corpus_count(spark: SparkSession, sf_dir: str, name: str = "embeddings") -> int:
-    """Memoized table row count per (session, sf_dir, table).
+def _corpus_count(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "embeddings",
+    id_below: int | None = None,
+    id_col: str = "vec_id",
+) -> int:
+    """Memoized table row count per (session, sf_dir, table[, id filter]).
+
+    ``id_below`` (r10, r9 ADVICE #2): count only rows with id_col <
+    id_below — a pushed-down range predicate, used to validate the
+    planted-probe id contract (probe filters like ``vec_id < 10`` assume a
+    zero-based contiguous id space; an empty probe must fail loudly at
+    build instead of degrading the recall evidence column to 0/NULL).
 
     One parquet-metadata count job the FIRST time a query build needs the
     corpus size (the adaptive-LSH r pin), then a dict hit for every later
@@ -1047,15 +1059,18 @@ def _corpus_count(spark: SparkSession, sf_dir: str, name: str = "embeddings") ->
     if cache is None:
         cache = {}
         spark._omnidata_count_cache = cache
-    key = (sf_dir, name, _parquet_fingerprint(sf_dir, name))
+    key = (sf_dir, name, id_below, _parquet_fingerprint(sf_dir, name))
     n = cache.get(key)
     if n is None:
-        # drop superseded fingerprints for the same (sf_dir, table) so the
-        # cache stays one entry per live table instead of growing with
-        # every mid-session regeneration (r9 ADVICE)
-        for k in [k for k in cache if k[:2] == key[:2]]:
+        # drop superseded fingerprints for the same (sf_dir, table, filter)
+        # so the cache stays one entry per live table instead of growing
+        # with every mid-session regeneration (r9 ADVICE)
+        for k in [k for k in cache if k[:3] == key[:3]]:
             del cache[k]
-        n = table(spark, sf_dir, name).count()
+        df = table(spark, sf_dir, name)
+        if id_below is not None:
+            df = df.filter(F.col(id_col) < id_below)
+        n = df.count()
         cache[key] = n
     return n
 
@@ -1104,7 +1119,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _train_sample r9 finding — linear cost hiding in a "first 10 rows"
     # subplan) and added an AQE stage to the run's job ladder; vec_id is
     # contiguous 0..N-1 in this data model, so the filter selects the same
-    # 10 rows as a row-group-prunable scan predicate.
+    # 10 rows as a row-group-prunable scan predicate. The contract is
+    # VALIDATED, not assumed (r9 ADVICE): a memoized pushed-filter count
+    # (one tiny job per session) fails the build loudly on a non-zero-based
+    # id space instead of letting planted_recall degrade to 0 over an
+    # empty probe — and doubles as the recall denominator.
+    n_probe = _corpus_count(spark, sf_dir, id_below=10)
+    if n_main > 0 and n_probe == 0:
+        raise ValueError(
+            "dedup_embedding_cosine planted probe is empty: vec_id < 10 "
+            "matched no rows in a non-empty embeddings table — the "
+            "zero-based contiguous vec_id contract is violated"
+        )
     originals = raw.filter(F.col("vec_id") < 10)
     bump = F.transform(
         F.col("embedding"),
@@ -1125,18 +1151,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # r is pinned by the MAIN corpus size: the probe copies ride along at
-    # exactly the granularity deployed for this corpus.
-    all_pairs = blocked_cosine_pairs(corpus, 0.95, n_vectors=n_main).persist()
+    # exactly the granularity deployed for this corpus. One persisted pair
+    # frame (and one inner LSH persist) per (session, sf_dir): repeated
+    # builds reuse instead of stacking cache entries (r9 ADVICE #3 class)
+    from omnidata_etl_spark.queries._util import session_df_memo
+
+    all_pairs = session_df_memo(
+        spark,
+        ("emb_cosine_pairs", sf_dir, _parquet_fingerprint(sf_dir, "embeddings")),
+        lambda: blocked_cosine_pairs(corpus, 0.95, n_vectors=n_main).persist(),
+    )
     main = all_pairs.filter(
         (F.col("vec_a") < _POFF) & (F.col("vec_b") < _POFF)
     )
-    # the denominator is the number of copies WE planted — min(10, corpus
-    # size), already known from the memoized count — not a quantity to
-    # re-derive with a second sort-limit + crossJoin per execution (r7:
-    # shaved one TakeOrdered job and a join from every run). max(1, ·)
-    # keeps the division defined on an empty corpus (recall 0/1 = 0.0
-    # instead of 0/0 = NaN).
-    n_planted = max(1, min(10, n_main))
+    # the denominator is the number of copies WE planted — the memoized
+    # pushed-filter count above — not a quantity to re-derive with a
+    # second sort-limit + crossJoin per execution (r7: shaved one
+    # TakeOrdered job and a join from every run). max(1, ·) keeps the
+    # division defined on an empty corpus (recall 0/1 = 0.0 instead of
+    # 0/0 = NaN).
+    n_planted = max(1, n_probe)
     recall = (
         all_pairs.filter(F.col("vec_b") == F.col("vec_a") + _POFF)
         .agg(F.count(F.lit(1)).alias("n_found"))
