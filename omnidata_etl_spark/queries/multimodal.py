@@ -328,42 +328,66 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> bytes:
-    """Deterministic image payload for a document: its UTF-8 bytes tiled
-    into a (h, w, 3) pixel grid, encoded as PPM, BMP, PNG, or GIF by
-    doc_id — a format MIX, so the decode queries exercise every real
-    codec (the zlib+numpy PNG path and the r7 LZW GIF path included)
-    through the same magic-byte dispatch an ingested corpus would hit.
-    GIF's ≤256-color constraint always holds here: the grid has w·h = 192
-    pixels, so at most 192 distinct colors."""
-    import numpy as np
+#: max |decoded − source| for the quality-100 4:4:4 JPEG synth assets:
+#: measured worst-case 2 on noise-like content (coef quant ±0.5 + YCbCr
+#: float rounding); 4 leaves margin while still damning any real decoder
+#: defect (a broken IDCT/Huffman path lands hundreds off).
+_JPEG_TOL = 4
 
-    from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
+
+def _synth_pixels(doc_id: int, text: str, w: int = 16, h: int = 12):
+    """The deterministic (h, w, 3) pixel grid behind a document's synth
+    asset — exposed separately so lossy-format checks can compare the
+    decode against the true source pixels."""
+    import numpy as np
 
     raw = (text or "").encode("utf-8") or bytes([doc_id % 256])
     need = w * h * 3
     reps = -(-need // len(raw))
-    pix = np.frombuffer((raw * reps)[:need], dtype=np.uint8).reshape(h, w, 3)
-    enc = (encode_ppm, encode_bmp, encode_png, encode_gif)[doc_id % 4]
+    return np.frombuffer((raw * reps)[:need], dtype=np.uint8).reshape(h, w, 3)
+
+
+def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> bytes:
+    """Deterministic image payload for a document: its UTF-8 bytes tiled
+    into a (h, w, 3) pixel grid, encoded as PPM, BMP, PNG, GIF, or
+    baseline JPEG by doc_id — a format MIX, so the decode queries exercise
+    every real codec (the zlib+numpy PNG path, the r7 LZW GIF path, and
+    the r10 T.81 JPEG path included) through the same magic-byte dispatch
+    an ingested corpus would hit. GIF's ≤256-color constraint always holds
+    here: the grid has w·h = 192 pixels, so at most 192 distinct colors.
+    JPEG uses quality 100 so the lossy decode stays within _JPEG_TOL of
+    the source pixels."""
+    from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
+    from omnidata_etl_spark.codecs_jpeg import encode_jpeg
+
+    pix = _synth_pixels(doc_id, text, w, h)
+    enc = (
+        encode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_gif,
+        lambda a: encode_jpeg(a, quality=100),
+    )[doc_id % 5]
     return enc(pix)
 
 
 @query("multimodal_image_decode_stats", tags=("multimodal", "codec", "pandas-udf"))
 def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode over the corpus: synthesize a PPM/BMP/PNG/GIF
-    asset per document (ingest stand-in, format mixed by doc_id so all
-    four real codecs run — PNG through the zlib+numpy scanline path, GIF
-    through the r7 variable-width LZW path), decode it
-    with the zero-dependency codec, and aggregate per-source brightness
-    stats. Self-evidencing (rows-only query): ``roundtrip_ok_all`` is true
-    only if re-encoding the decoded pixels in the SAME format reproduces
-    the payload byte-for-byte on EVERY asset in the group — the decode is
-    proven inside the query's own output."""
+    """REAL image decode over the corpus: synthesize a PPM/BMP/PNG/GIF/
+    baseline-JPEG asset per document (ingest stand-in, format mixed by
+    doc_id so all five real codecs run — PNG through the zlib+numpy
+    scanline path, GIF through the r7 variable-width LZW path, JPEG
+    through the r10 T.81 Huffman+IDCT path), decode it with the
+    zero-dependency codec, and aggregate per-source brightness stats.
+    Self-evidencing (rows-only query): ``roundtrip_ok_all`` is true only
+    if EVERY asset in the group proves its decode — byte-exact re-encode
+    for the lossless formats, and for JPEG (lossy by construction)
+    max |decoded − source pixels| ≤ _JPEG_TOL at quality 100."""
     import numpy as np
 
     from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
 
-    encoders = (encode_ppm, encode_bmp, encode_png, encode_gif)
+    encoders = (encode_ppm, encode_bmp, encode_png, encode_gif, None)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -380,9 +404,18 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 out["brightness"].append(float(np.mean(img)))
                 out["height"].append(img.shape[0])
                 out["width"].append(img.shape[1])
-                out["roundtrip_ok"].append(
-                    encoders[int(did) % 4](img) == payload
-                )
+                enc = encoders[int(did) % 5]
+                if enc is None:  # JPEG: lossy — bound vs source pixels
+                    src = _synth_pixels(int(did), text)
+                    ok = bool(
+                        img.shape == src.shape
+                        and np.abs(
+                            img.astype(int) - src.astype(int)
+                        ).max() <= _JPEG_TOL
+                    )
+                else:
+                    ok = enc(img) == payload
+                out["roundtrip_ok"].append(ok)
             yield pd.DataFrame(out)
 
     schema = (
@@ -658,19 +691,22 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    # v3: format mix (ppm/bmp/png/gif). The version suffix invalidates
-    # stale staging dirs from earlier format sets (the .done marker would
-    # otherwise keep serving them).
+    # v4: format mix (ppm/bmp/png/gif/jpg — r10 adds the baseline-JPEG
+    # codec). The version suffix invalidates stale staging dirs from
+    # earlier format sets (the .done marker would otherwise keep serving
+    # them).
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     root = os.path.join(
-        tempfile.gettempdir(), f"omnidata_binassets_{os.getuid()}", key + "v3"
+        tempfile.gettempdir(), f"omnidata_binassets_{os.getuid()}", key + "v4"
     )
     done = os.path.join(root, ".done")
     from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
+    from omnidata_etl_spark.codecs_jpeg import encode_jpeg
 
     encoders = (
         ("ppm", encode_ppm), ("bmp", encode_bmp), ("png", encode_png),
         ("gif", encode_gif),
+        ("jpg", lambda a: encode_jpeg(a, quality=100)),
     )
     if not os.path.exists(done):
         os.makedirs(root, exist_ok=True)
@@ -678,7 +714,7 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             w, h = 8 + (i % 3) * 4, 6 + (i % 2) * 6
             rng = np.random.default_rng(i)
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            ext, enc = encoders[i % 4]
+            ext, enc = encoders[i % 5]
             path = os.path.join(root, f"asset_{i:02d}_{w}x{h}.{ext}")
             with open(path, "wb") as f:
                 f.write(enc(img))
@@ -691,9 +727,24 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             enc_by_ext = dict(encoders)
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
+                asset_i = int(name.split("_")[1])
                 dims, ext = name.rsplit("_", 1)[1].split(".")
                 want_w, want_h = map(int, dims.split("x"))
                 img = decode_image(bytes(content))
+                if ext == "jpg":
+                    # lossy: re-derive the rng(i) source pixels and bound
+                    # the decode error instead of byte-comparing
+                    src = np.random.default_rng(asset_i).integers(
+                        0, 256, size=(want_h, want_w, 3), dtype=np.uint8
+                    )
+                    ok = bool(
+                        img.shape == src.shape
+                        and np.abs(
+                            img.astype(int) - src.astype(int)
+                        ).max() <= _JPEG_TOL
+                    )
+                else:
+                    ok = enc_by_ext[ext](img) == bytes(content)
                 rows["path"].append(name)
                 rows["n_bytes"].append(len(content))
                 rows["width"].append(img.shape[1])
@@ -701,7 +752,7 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["decode_ok"].append(
                     img.shape[1] == want_w
                     and img.shape[0] == want_h
-                    and enc_by_ext[ext](img) == bytes(content)
+                    and ok
                 )
             yield pd.DataFrame(rows)
 

@@ -15,11 +15,19 @@ from omnidata_etl_spark.catalog import TABLES
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are directories of part files (the x10
+        # synthetic sweep, r10) — glob them for DuckDB; single-file
+        # testdata parquet reads directly.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -44,7 +44,11 @@ def test_bmp_roundtrip_byte_exact():
 
 
 def test_compressed_formats_raise_not_implemented():
+    # WebP stays library-gated; JPEG decodes for real since r10 — a
+    # truncated one is a ValueError from the real decoder, not a stub
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBPVP8 ")
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0....")
     # GIF decodes natively since r7; a truncated one is a ValueError
     with pytest.raises(ValueError):

@@ -16,11 +16,13 @@ from omnidata_etl_spark.queries.multimodal import (
 
 
 def test_library_needing_decodes_are_marked_stubs():
-    # PNG decodes for real since r6 (zlib+numpy), GIF since r7 (LZW);
-    # JPEG is documented OUT OF SCOPE without a codec library and must
-    # keep raising from the magic-byte dispatch. A malformed GIF is a
-    # ValueError from the real decoder, not a stub.
+    # PNG decodes for real since r6 (zlib+numpy), GIF since r7 (LZW),
+    # JPEG since r10 (T.81 baseline) — malformed payloads of the real
+    # formats are ValueErrors from the real decoders, not stubs; WebP
+    # stays library-gated behind NotImplementedError.
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBPVP8 ")
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0...")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a...")
