@@ -336,7 +336,21 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     a SUM-OVER-(PARTITION BY l_orderkey) window pass (one shuffle but a
     full SORT of every fact row — no partial aggregation; measured 0.72s
     vs 0.50s at sf0.1, and the gap is the sort's n·log n at 100 TB).
-    Top-20 is TakeOrderedAndProject with the o_orderkey tiebreak."""
+    Top-20 is TakeOrderedAndProject with the o_orderkey tiebreak.
+
+    The big↔orders join is MERGE-hinted (r10): ``big`` is fact-DERIVED —
+    it grows linearly with lineitem — so letting AQE broadcast it
+    whenever a particular scale factor happens to sit under the
+    threshold is the estimate-undershoot hazard the other fact-fact
+    joins already hint against. Caught by the r10 ×10 oracle sweep: in a
+    memory-pressured long-lived session (default 1g driver heap holding
+    the dedup family's persisted frames), AQE chose to broadcast the
+    ×10 ``big`` (~600k rows) and died with
+    notEnoughMemoryToBuildAndBroadcastTableError; at 100 TB ``big`` is
+    billions of rows and a broadcast is never right. The orderkey
+    exchange from the aggregation is reused by the SMJ, so the hint
+    costs one sort of the pre-shuffled side, not a new fact shuffle
+    (sf0.1 driver-regime A/B below)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -344,6 +358,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .where(F.col("sum_qty") > 250)
+        .hint("merge")
     )
     return (
         big.join(o, F.col("l_orderkey") == o.o_orderkey)

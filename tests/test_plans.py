@@ -189,6 +189,11 @@ def test_q17_q18_single_scan_forms(spark, sf_dir):
     assert "Window" not in plan18
     assert "HashAggregate" in plan18
     assert plan18.count("lineitem") == 1
+    # r10: the fact-DERIVED big-orders frame must never be a broadcast
+    # build side — it grows with lineitem (caught OOMing a 1g driver at
+    # x10; at 100 TB it is billions of rows). The merge hint pins the
+    # big<->orders join to SMJ; the customer dim join may still broadcast.
+    assert "SortMergeJoin" in plan18
 
 
 def test_runtime_bloom_filter_prefilters_probe_side(spark, sf_dir):
