@@ -291,11 +291,27 @@ def exact_jaccard(pairs: DataFrame, token_sets: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash", tags=("dedup", "lsh"))
+@query(
+    "dedup_near_minhash",
+    # lazy callable: the brute-force CTE builders are defined further down
+    # the module (resolved at first all_specs() access, the r9 pattern)
+    oracle=lambda: (
+        "WITH "
+        + _brute_pairs_ctes(5)
+        + ",\n"
+        + _probe_recall_ctes(5, _N_PROBE_SQL)
+        + "\nSELECT doc_a, doc_b, jaccard, planted_recall"
+        "\nFROM pairs CROSS JOIN precall"
+    ),
+    tags=("dedup", "lsh"),
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH over 5-token shingles (the standard
     LLM-corpus dedup formulation), candidates verified by exact shingle
-    Jaccard ≥ 0.6. Rows-only (hash family not portable to DuckDB).
+    Jaccard ≥ 0.6. Oracle-checked since r10 (see the brute-force oracle
+    note above _brute_pairs_ctes — the old "hash family not portable"
+    rows-only rationale is retired: LSH only prunes, verification is exact
+    set Jaccard, and the hash oracle re-proves recall 1.0 every run).
 
     The shingle-hash sets are persist()ed: the plan consumes them three times
     (minhash branch + both sides of the verification join) and Spark
@@ -735,32 +751,45 @@ def connected_components(
         edges.unpersist()
 
 
-# Shared oracle prefix for the cluster family (r10, VERDICT r9 #3): DuckDB
-# re-derives the VERIFIED near-dup pair graph brute-force — 5-token shingle
-# STRINGS (Jaccard over shingle strings equals Jaccard over this module's
-# shingle hashes, modulo negligible 64-bit collisions; short docs fall back
-# to whole-text, same convention as rolling_shingle_hashes), pairwise
-# intersection counts via a shingle-level self-join, round(j,4) >= 0.6 to
-# mirror exact_jaccard's rounding — then takes min-reachable-id connected
-# components via WITH RECURSIVE over the symmetrized edge list. Valid
-# because LSH recall is 1.0 on this corpus: the Spark pair set was
-# set-compared against this brute-force pair set at sf0.01 (25 pairs) and
-# sf0.1 (256 pairs) with zero diff in either direction — duplicates in the
-# synthetic corpus are near-exact, far above the ~0.6 banding knee.
-_CLUSTER_COMP_SQL = """
-WITH RECURSIVE tok AS (
+# ---- Brute-force DuckDB oracles for the MinHash-LSH family (r10) ----------
+#
+# The family's outputs are DuckDB-reproducible after all (retiring the
+# "hash family not portable" rows-only rationale): LSH only PRUNES the
+# candidate space, and verification is exact set Jaccard — over shingle
+# HASHES in Spark, over shingle STRINGS in the oracle, which are the same
+# numbers because hashing is a set-relabeling (cardinalities of ∩/∪ are
+# preserved modulo negligible 64-bit collisions; short docs fall back to
+# whole-text on both sides, the rolling_shingle_hashes convention). The
+# oracle therefore re-derives the VERIFIED pair set brute-force — a
+# shingle-level self-join for intersection counts, round(j,4) >= 0.6 to
+# mirror exact_jaccard's rounding — and equals the Spark output whenever
+# LSH recall on true >= 0.6 pairs is 1.0. That premise is empirical but
+# deterministic (fixed seeds, fixed data): the Spark pair set was
+# SET-COMPARED against brute force at sf0.01 (25 pairs) and sf0.1 (256
+# pairs) with zero diff either direction — duplicates in the synthetic
+# corpus are near-exact, far above the ~0.6 banding knee — and the hash
+# oracle re-proves it on every run thereafter. The planted-recall evidence
+# column is reproduced the same way: brute-force Jaccard between the 20
+# probe originals (doc_id < 20) and their leading-token-dropped copies.
+
+
+def _brute_pairs_ctes(n: int) -> str:
+    """CTE chain tok→…→pairs: brute-force n-token shingle-string Jaccard
+    pairs (doc_a < doc_b, round(j,4) >= 0.6, jaccard column kept) over
+    `documents` — the oracle twin of shingle→LSH→exact_jaccard."""
+    return f"""tok AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
 ),
 long_pos AS (
-  SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
-  FROM tok WHERE len(ts) >= 5
+  SELECT doc_id, ts, unnest(range(1, len(ts) - {n - 2})) AS i
+  FROM tok WHERE len(ts) >= {n}
 ),
 long_sh AS (
-  SELECT doc_id, array_to_string(ts[i : i + 4], ' ') AS sh FROM long_pos
+  SELECT doc_id, array_to_string(ts[i : i + {n - 1}], ' ') AS sh FROM long_pos
 ),
 short_sh AS (
   SELECT s.doc_id, d.text AS sh
-  FROM tok s JOIN documents d USING (doc_id) WHERE len(s.ts) < 5
+  FROM tok s JOIN documents d USING (doc_id) WHERE len(s.ts) < {n}
 ),
 shingles AS (
   SELECT DISTINCT doc_id, sh
@@ -773,11 +802,67 @@ inter AS (
   GROUP BY 1, 2
 ),
 pairs AS (
-  SELECT doc_a, doc_b FROM inter
+  SELECT doc_a, doc_b,
+         round(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+  FROM inter
   JOIN counts ca ON ca.doc_id = inter.doc_a
   JOIN counts cb ON cb.doc_id = inter.doc_b
   WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= 0.6
+)"""
+
+
+def _probe_recall_ctes(n: int, denom_sql: str) -> str:
+    """CTE chain defining `precall(planted_recall)`: brute-force Jaccard
+    between the 20 probe originals and their leading-token-dropped copies
+    (the _probe_corpus construction), found-pair count over ``denom_sql``."""
+    return f"""probe_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 10000000000,
+         substring(text, position(' ' IN text) + 1)
+  FROM documents WHERE doc_id < 20
 ),
+ptok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM probe_docs),
+plong AS (
+  SELECT doc_id, ts, unnest(range(1, len(ts) - {n - 2})) AS i
+  FROM ptok WHERE len(ts) >= {n}
+),
+plsh AS (
+  SELECT doc_id, array_to_string(ts[i : i + {n - 1}], ' ') AS sh FROM plong
+),
+pssh AS (
+  SELECT p.doc_id, p.text AS sh
+  FROM probe_docs p JOIN ptok t USING (doc_id) WHERE len(t.ts) < {n}
+),
+pshingles AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT * FROM plsh UNION ALL SELECT * FROM pssh)
+),
+pcounts AS (SELECT doc_id, count(*) AS n FROM pshingles GROUP BY doc_id),
+pfound AS (
+  SELECT count(*) AS n_found FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM pshingles a JOIN pshingles b
+      ON a.sh = b.sh AND b.doc_id = a.doc_id + 10000000000
+    GROUP BY 1, 2
+  ) pi
+  JOIN pcounts ca ON ca.doc_id = pi.doc_a
+  JOIN pcounts cb ON cb.doc_id = pi.doc_b
+  WHERE round(c * 1.0 / (ca.n + cb.n - c), 4) >= 0.6
+),
+precall AS (
+  SELECT n_found * 1.0 / {denom_sql} AS planted_recall FROM pfound
+)"""
+
+
+_N_PROBE_SQL = "(SELECT count(*) FROM documents WHERE doc_id < 20)"
+
+# Cluster-family oracle (r10, VERDICT r9 #3): min-reachable-id connected
+# components via WITH RECURSIVE over the symmetrized brute-force pair graph.
+_CLUSTER_COMP_SQL = (
+    "WITH RECURSIVE "
+    + _brute_pairs_ctes(5)
+    + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -791,6 +876,7 @@ comp AS (
   SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a
 )
 """
+)
 
 
 @query(
@@ -867,11 +953,22 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    oracle=lambda: (
+        "WITH "
+        + _brute_pairs_ctes(3)
+        + ",\n"
+        + _probe_recall_ctes(3, f"greatest(1, {_N_PROBE_SQL})")
+        + "\nSELECT doc_a, doc_b, jaccard, planted_recall"
+        "\nFROM pairs CROSS JOIN precall"
+    ),
     tags=("dedup", "ngram"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram (token trigram) Jaccard ≥ 0.6, with
-    MinHash-LSH candidate generation over the same shingles. Rows-only.
+    MinHash-LSH candidate generation over the same shingles. Oracle-checked
+    since r10 (brute-force pair + probe reproduction — see the note above
+    _brute_pairs_ctes; the oracle's recall denominator mirrors this
+    query's max(1, planted count)).
 
     Self-evidencing, SINGLE-PASS probe (r9 — the dedup_embedding_cosine /
     dedup_simhash trick): the 20 planted (original, leading-token-dropped
@@ -936,7 +1033,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main.crossJoin(F.broadcast(recall))
 
 
-@query("dedup_incremental_delta", tags=("dedup", "lsh", "incremental"))
+@query(
+    "dedup_incremental_delta",
+    oracle=lambda: (
+        "WITH "
+        + _brute_pairs_ctes(5)
+        + ",\n"
+        + _probe_recall_ctes(5, _N_PROBE_SQL)
+        + """,
+newdocs AS (
+  SELECT doc_id FROM documents
+  WHERE source IN ('src15', 'src16', 'src17', 'src18', 'src19')
+),
+-- new-batch x indexed-corpus orientation (doc_id = the new side): the
+-- a<b pair frame covers every cross pair; flip rows whose new doc got
+-- the b slot
+delta AS (
+  SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard FROM pairs
+  WHERE doc_a IN (SELECT doc_id FROM newdocs)
+    AND doc_b NOT IN (SELECT doc_id FROM newdocs)
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard FROM pairs
+  WHERE doc_b IN (SELECT doc_id FROM newdocs)
+    AND doc_a NOT IN (SELECT doc_id FROM newdocs)
+)
+SELECT doc_id, dup_of, jaccard, planted_recall
+FROM delta CROSS JOIN precall"""
+    ),
+    tags=("dedup", "lsh", "incremental"),
+)
 def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup: screen a NEW document batch against an
     existing corpus without re-pairing the corpus against itself — the
@@ -951,8 +1076,9 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (partitionBy(band_id) parquet, written once, appended per batch);
     the corpus side here recomputes it because query builders do not write.
     Output: one row per new doc that near-duplicates an indexed doc
-    (doc_id, dup_of, jaccard) — the batch's removal list. Rows-only (hash
-    family not portable); planted-dup behavior pinned in tests.
+    (doc_id, dup_of, jaccard) — the batch's removal list. Oracle-checked
+    since r10 (brute-force batch×corpus pair reproduction — see the note
+    above _brute_pairs_ctes); planted-dup behavior also pinned in tests.
 
     Self-evidencing (r9, VERDICT r8 #6): every row carries
     ``planted_recall`` — the fraction of 20 planted (original,

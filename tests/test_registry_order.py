@@ -45,14 +45,17 @@ def test_first_50_slots_are_oracle_checked_2b():
 
 
 # r8: the four ingest keys in slots 51-54 were PROMOTED to oracle-checked
-# (DuckDB read_csv/read_json over the same fixtures — VERDICT r7 #7). They
-# stay in slots 51-58 so the driver's 50-slot adjudication window is
-# untouched; the promotion shows up in CORRECTNESS_LOCAL instead.
+# (DuckDB read_csv/read_json over the same fixtures — VERDICT r7 #7); r10
+# added dedup_near_minhash (brute-force shingle-string Jaccard pair +
+# probe reproduction). They stay in slots 51-58 so the driver's 50-slot
+# adjudication window is untouched; the promotions show up in
+# CORRECTNESS_LOCAL instead.
 _PROMOTED_51_58 = {
     "ingest_csv",
     "ingest_tsv",
     "ingest_pipe_markdown",
     "ingest_json",
+    "dedup_near_minhash",
 }
 
 
