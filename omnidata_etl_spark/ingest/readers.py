@@ -207,6 +207,17 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
         return _rows_to_df(spark, read_xlsx_rows(path))
 
 
+def read_avro_file(spark: SparkSession, path: str) -> DataFrame:
+    """Avro OCF scan via the dependency-free clean-room reader
+    (ingest/avro.py): schema from one driver-side header read, record
+    decode distributed over executors (binaryFile + mapInPandas per
+    block). Extends the format-dispatch upload (R1) to the third
+    canonical big-data format alongside parquet and ORC."""
+    from omnidata_etl_spark.ingest.avro import read_avro_df
+
+    return read_avro_df(spark, path)
+
+
 _EXT_READERS = {
     ".csv": read_delimited,
     ".tsv": read_delimited,
@@ -219,6 +230,7 @@ _EXT_READERS = {
     ".xlsx": read_excel,
     ".xls": read_excel,
     ".xml": read_xml,
+    ".avro": read_avro_file,
 }
 
 

@@ -175,6 +175,7 @@ NO_PREPARE = frozenset(
         "sink_errorifexists",
         "sink_text_source_roundtrip",
         "sink_bucketed_join",
+        "sink_avro_roundtrip",  # distributed avro write at build
         "etl_compact_small_files",
         "etl_zorder_layout",  # writes two staged layouts at build
         "ingest_orc",
@@ -188,6 +189,7 @@ NO_PREPARE = frozenset(
         "ingest_json",
         "ingest_xml",
         "ingest_xlsx",
+        "ingest_avro",  # fixture write + header read at build
         "ingest_csv_gzip",
         # observe() metrics ride a count() issued at build
         "etl_observed_metrics",
