@@ -53,7 +53,11 @@ def has_id_column(df: DataFrame) -> bool:
     return any(c.lower() == "id" for c in df.columns)
 
 
-def add_surrogate_key(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
+def add_surrogate_key(
+    df: DataFrame,
+    order_by: list[str] | None = None,
+    as_long: bool = False,
+) -> DataFrame:
     """Inject a dense 1..N `id` iff no case-insensitive `id` exists (R12,
     reference `backend/index.js:174-182` — `id SERIAL` when absent).
 
@@ -75,6 +79,9 @@ def add_surrogate_key(df: DataFrame, order_by: list[str] | None = None) -> DataF
     deduplicated loads. `id` stays int for reference `SERIAL` parity; past
     INT_MAX the projection raises an explicit error (never wraps) — a
     >2.1B-row load opts into BIGSERIAL semantics (long ids) upstream.
+    `as_long=True` IS that BIGSERIAL opt-in: long ids, no INT_MAX guard
+    (for consumers whose row space legitimately exceeds 2.1B, e.g.
+    etl_global_shuffle positions at corpus scale).
     """
     if has_id_column(df):
         return df
@@ -125,23 +132,25 @@ def add_surrogate_key(df: DataFrame, order_by: list[str] | None = None) -> DataF
         )
         .select("_sk_pid", "_sk_off")
     )
+    id_expr = (
+        (F.col("_sk_rn") + F.col("_sk_off")).alias("id")
+        if as_long
+        else F.expr(
+            "CASE WHEN _sk_rn + _sk_off > 2147483647 THEN "
+            "raise_error('surrogate_key: row number exceeds INT_MAX "
+            "(SERIAL parity); use BIGSERIAL semantics upstream for "
+            ">2.1B-row loads') "
+            "ELSE cast(_sk_rn + _sk_off AS INT) END"
+        ).alias("id")
+    )
     out = (
         numbered.join(F.broadcast(offsets), "_sk_pid")
-        # id arithmetic stays in LONG and the int cast is guarded with an
-        # explicit, actionable error: a >2^31-row load must not wrap (or
+        # id arithmetic stays in LONG; the default int cast is guarded with
+        # an explicit, actionable error: a >2^31-row load must not wrap (or
         # die in an opaque ANSI overflow) — SERIAL parity caps at INT_MAX
-        # by design, and bigger loads opt into BIGSERIAL upstream
+        # by design, and bigger loads opt into BIGSERIAL via as_long
         # (r5 ADVICE on the silent-wrap hazard).
-        .withColumn(
-            "id",
-            F.expr(
-                "CASE WHEN _sk_rn + _sk_off > 2147483647 THEN "
-                "raise_error('surrogate_key: row number exceeds INT_MAX "
-                "(SERIAL parity); use BIGSERIAL semantics upstream for "
-                ">2.1B-row loads') "
-                "ELSE cast(_sk_rn + _sk_off AS INT) END"
-            ),
-        )
+        .withColumn("id", id_expr)
         .drop("_sk_pid", "_sk_rn", "_sk_off")
     )
     out._sk_cache = numbered  # handle for load()'s post-write unpersist

@@ -603,3 +603,42 @@ def etl_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(
         bucket < F.floor(quality * 1_000_000).cast("bigint")
     ).select("doc_id", "source")
+
+
+@query(
+    "etl_global_shuffle",
+    oracle="""
+        SELECT doc_id,
+               md5('seed42:' || CAST(doc_id AS VARCHAR)) AS skey,
+               CAST(row_number() OVER (
+                   ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS BIGINT) AS pos
+        FROM documents
+    """,
+    tags=("etl", "ml", "shuffle"),
+)
+def etl_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the op every epoch of LLM
+    training starts with: assign each document a seeded pseudo-random
+    position so the corpus streams in a reproducible random order.
+
+    The 100 TB shape: shuffling by sorting on a seeded hash, NOT by
+    collecting or sampling — `md5(seed || doc_id)` is the permutation,
+    and the global position comes from ingest.load's two-phase
+    distributed row_number (range-partition on the hash → parallel local
+    sorts → broadcast per-partition offsets; load.py:add_surrogate_key),
+    never a single-partition global Window. `as_long=True` is the
+    BIGSERIAL opt-in — corpus row counts exceed INT_MAX. doc_id is the
+    tiebreak so the permutation is total and the oracle differential is
+    exact (md5 hex parity between Spark and DuckDB is itself part of the
+    check)."""
+    from omnidata_etl_spark.ingest.load import add_surrogate_key
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "skey",
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))),
+    )
+    return add_surrogate_key(
+        keyed, order_by=["skey", "doc_id"], as_long=True
+    ).withColumnRenamed("id", "pos")

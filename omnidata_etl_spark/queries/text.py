@@ -1092,3 +1092,74 @@ def text_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_merges", F.lit(len(merges)))
         .withColumn("decode_ok", F.lit(decode_ok))
     )
+
+
+_URL_RE = r"https?://\S+"
+_DOMAIN_RE = r"https?://([^/?#]+)"
+
+
+@query(
+    "text_url_extract",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 37 = 0 THEN
+                       text || ' https://site' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                            || '?ref=x see also http://cdn.example.org/a/'
+                            || CAST(doc_id % 3 AS VARCHAR)
+                   ELSE text END AS text2
+            FROM documents
+        ),
+        urls AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text2, '{_URL_RE}')) AS url
+            FROM planted
+        )
+        SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM urls
+        GROUP BY 1
+    """,
+    tags=("text", "extraction"),
+)
+def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain stats — the CommonCrawl-style first
+    step of web-corpus curation (domain frequency tables drive blocklists
+    and per-domain caps). Single corpus scan: regexp_extract_all →
+    explode → domain group-by; the shuffle carries (domain, doc_id)
+    pairs, never document bodies — at 100 TB the exchange is a few bytes
+    per URL, and the group-by combines map-side.
+
+    The synthetic corpus contains no URLs, so the query plants them with
+    a doc_id-derived expression applied in the SAME scan (the in-corpus
+    planted-probe pattern of dedup_simhash/text_pii_redact): every 37th
+    doc gets two URLs across eight deterministic domains. The oracle
+    replicates the planting and both regexes verbatim, so extraction is
+    value-checked end-to-end (Java regex vs RE2 on identical inputs)."""
+    docs = table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=x see also http://cdn.example.org/a/"),
+            (F.col("doc_id") % 3).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(planted, F.lit(_URL_RE), 0)
+        ).alias("url"),
+    )
+    return urls.groupBy(
+        F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain")
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -254,12 +254,19 @@ def run(spark, sf_dir: str, name: str) -> float:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # usage: scale_probe.py [replicas] [--only name1,name2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    replicas = int(args[0]) if args else 10
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    probe = [q for q in PROBE_QUERIES if only is None or q in only]
     spark = get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     big = build(spark, replicas)
     print(f"query,base_sec,x{replicas}_sec,ratio,base_plan,big_plan")
-    for name in PROBE_QUERIES:
+    for name in probe:
         t1 = run(spark, BASE, name)
         t2 = run(spark, big, name)
         fn = all_specs()[name].fn

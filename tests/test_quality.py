@@ -236,3 +236,56 @@ def test_bpe_train_apply_self_evidencing(spark, sf_dir):
     assert rows and all(r["decode_ok"] for r in rows)
     assert all(r["n_merges"] == 20 for r in rows)
     assert all(1.0 < r["avg_subtokens_per_word"] < 7.0 for r in rows)
+
+
+def test_etl_global_shuffle_is_dense_permutation(spark, sf_dir):
+    """Positions are exactly 1..N (dense, no dups), deterministic across
+    rebuilds, and actually permute (not identity on doc_id order)."""
+    from omnidata_etl_spark.registry import all_specs
+
+    fn = all_specs()["etl_global_shuffle"].fn
+    rows = fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    # deterministic: same seed → same permutation
+    again = {r["doc_id"]: r["pos"] for r in fn(spark, sf_dir).collect()}
+    assert all(again[r["doc_id"]] == r["pos"] for r in rows)
+    # it's a real shuffle: doc_id order and pos order disagree somewhere
+    by_doc = sorted(rows, key=lambda r: r["doc_id"])
+    assert any(
+        a["pos"] > b["pos"] for a, b in zip(by_doc, by_doc[1:])
+    ), "hash order degenerated to doc_id order"
+
+
+def test_etl_global_shuffle_plan_scale_shape(spark, sf_dir):
+    """The global position comes from the two-phase range-partitioned
+    row_number: the plan must carry a RANGE partitioning exchange, and the
+    only Window sits over the per-partition offsets frame (partition-count
+    rows), never over the full corpus (the single-partition global-sort
+    anti-pattern)."""
+    from omnidata_etl_spark.registry import all_specs
+
+    df = all_specs()["etl_global_shuffle"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # the Window's child aggregates to one row per partition id
+    assert "_sk_pid" in plan
+
+
+def test_text_url_extract_planted_domains(spark, sf_dir):
+    """Every 37th doc plants one site<K>.example.com URL and one
+    cdn.example.org URL; the domain table must reflect exactly that."""
+    from omnidata_etl_spark.catalog import table as _table
+    from omnidata_etl_spark.registry import all_specs
+
+    docs = _table(spark, sf_dir, "documents")
+    planted = docs.where((docs.doc_id % 37) == 0).count()
+    rows = {
+        r["domain"]: (r["n_urls"], r["n_docs"])
+        for r in all_specs()["text_url_extract"].fn(spark, sf_dir).collect()
+    }
+    assert rows["cdn.example.org"] == (planted, planted)
+    site_urls = sum(v[0] for d, v in rows.items() if d.startswith("site"))
+    assert site_urls == planted
+    assert all(d.endswith((".example.com", ".example.org")) for d in rows)
