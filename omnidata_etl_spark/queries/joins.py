@@ -191,6 +191,70 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
 
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    values: list[str],
+    tiebreak: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Generic distributed as-of join: every probe row gains the `values`
+    columns of the latest build row with build_ts <= probe_ts (or < when
+    ``strict``) for the same ``key``; no match → NULLs (LEFT semantics).
+
+    The linear union+window emulation (one shuffle on the key, parallel
+    per-key sorts, no per-row probe join — the 100 TB shape; Spark has no
+    native ASOF JOIN operator): tag both sides into one keyed stream,
+    sort within key by (ts, side, tiebreak) and carry the last-seen build
+    values forward with last(ignorenulls). Non-strict sorts build rows
+    BEFORE probe rows at equal ts (same-instant builds visible); strict
+    flips the side order. Among build rows tied on (key, ts), the max of
+    ``tiebreak`` wins (pass the build's unique id for a total order —
+    required for a deterministic result). Build `values` must be
+    non-null; NULLs read as "no build here" to last(ignorenulls).
+    The 19th fuzz layer (tests/test_properties.py) drives this against
+    DuckDB's native ASOF JOIN on randomized frames."""
+    assert not set(values) & set(probe.columns), "value/probe name clash"
+    build_side, probe_side = (0, 1) if not strict else (1, 0)
+    tiebreak = tiebreak or []
+    probe_cols = probe.columns
+    b = build.select(
+        F.col(key).alias("_ak"),
+        F.col(build_ts).alias("_at"),
+        F.lit(build_side).alias("_aside"),
+        *[F.col(c) for c in values],
+        *[
+            F.lit(None).cast(probe.schema[c].dataType).alias(c)
+            for c in probe_cols
+        ],
+    )
+    p = probe.select(
+        F.col(key).alias("_ak"),
+        F.col(probe_ts).alias("_at"),
+        F.lit(probe_side).alias("_aside"),
+        *[
+            F.lit(None).cast(build.schema[c].dataType).alias(c)
+            for c in values
+        ],
+        *probe_cols,
+    )
+    w = (
+        Window.partitionBy("_ak")
+        .orderBy("_at", "_aside", *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = b.unionByName(p).select(
+        "_aside",
+        *probe_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in values],
+    )
+    return tagged.filter(F.col("_aside") == probe_side).drop("_aside")
+
+
 @query(
     "join_asof",
     oracle="""
@@ -222,37 +286,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     emulation's semantics.
     """
     orders = table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("side"),  # build side sorts before probes at equal t (<=)
-        "o_orderkey",
-        "o_totalprice",
-        F.lit(None).cast("long").alias("event_id"),
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
     )
     ev = table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("side"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-        "event_id",
+        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
     )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "side", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ts comparison is date <= timestamp: cast the build date to the
+    # probe's timestamp type so the union column is homogeneous (the
+    # pre-refactor form relied on unionByName's implicit coercion)
+    build = orders.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
     )
-    tagged = orders.unionByName(ev).select(
-        "side",
-        "event_id",
-        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
-        F.last("o_totalprice", ignorenulls=True)
-        .over(w)
-        .alias("asof_totalprice"),
-    )
-    return tagged.filter(F.col("side") == 1).select(
-        "event_id", "asof_orderkey", "asof_totalprice"
-    )
+    return asof_join(
+        ev,
+        build.select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+            "asof_orderkey",
+            "asof_totalprice",
+        ),
+        key="k",
+        probe_ts="t",
+        build_ts="t",
+        values=["asof_orderkey", "asof_totalprice"],
+        tiebreak=["asof_orderkey"],
+    ).select("event_id", "asof_orderkey", "asof_totalprice")
 
 
 @query(

@@ -1214,3 +1214,74 @@ def test_random_full_pipeline_differential_vs_duckdb(spark, sf_dir):
             for r in con.execute(d_sql).fetchall()
         )
         assert a == b, f"case {i}: {d_sql}\n{a[:3]} vs {b[:3]}"
+
+
+def test_random_asof_join_differential_vs_duckdb(spark):
+    """Differential fuzz over as-of join semantics (r10, the 19th layer):
+    20 seeded random (build, probe, strict) cases of the generic
+    union+window as-of emulation (queries/joins.py:asof_join) against
+    DuckDB's NATIVE ASOF JOIN operator — a completely independent
+    formulation. Randomized: key cardinality (1-6, so some keys are
+    probe-only or build-only), frame sizes incl. EMPTY build, integer
+    event times drawn from a small domain (equal-ts collisions between
+    probe and build rows are common — the exact boundary non-strict vs
+    strict flips), and the strict flag. Build (key, ts) pairs are unique
+    per case (both engines need a total order for determinism; the
+    helper's tiebreak contract covers the non-unique case and is pinned
+    by join_asof's LATERAL oracle instead)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from omnidata_etl_spark.queries.joins import asof_join
+
+    con = duckdb.connect()
+    rng = random.Random(0xA50F)
+    for case in range(20):
+        nk = rng.randint(1, 6)
+        builds = set()
+        while len(builds) < rng.choice([0, 3, 8, 25]):
+            builds.add((rng.randint(0, nk), rng.randint(0, 30)))
+        build_rows = [
+            {"k": k, "bt": t, "val": 100 * k + t, "bid": i}
+            for i, (k, t) in enumerate(sorted(builds))
+        ]
+        probe_rows = [
+            {"pid": i, "k": rng.randint(0, nk), "pt": rng.randint(0, 30)}
+            for i in range(rng.randint(1, 40))
+        ]
+        strict = rng.random() < 0.5
+        build_pdf = pd.DataFrame(
+            build_rows, columns=["k", "bt", "val", "bid"]
+        ).astype("int64")
+        probe_pdf = pd.DataFrame(probe_rows, columns=["pid", "k", "pt"])
+
+        got = asof_join(
+            spark.createDataFrame(probe_pdf),
+            spark.createDataFrame(build_pdf)
+            if build_rows
+            else spark.createDataFrame([], "k long, bt long, val long, bid long"),
+            key="k",
+            probe_ts="pt",
+            build_ts="bt",
+            values=["val", "bid"],
+            tiebreak=["bid"],
+            strict=strict,
+        ).select("pid", "val", "bid")
+        spark_res = sorted(tuple(r) for r in got.collect())
+
+        con.register("p_asof", probe_pdf)
+        con.register("b_asof", build_pdf)
+        op = ">" if strict else ">="
+        duck_res = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"SELECT p.pid, b.val, b.bid FROM p_asof p "
+                f"ASOF LEFT JOIN b_asof b "
+                f"ON p.k = b.k AND p.pt {op} b.bt"
+            ).fetchall()
+        )
+        assert spark_res == duck_res, (
+            f"case {case} strict={strict}: {spark_res[:4]} vs {duck_res[:4]}"
+        )
