@@ -3,8 +3,9 @@
 The container has no image/audio libraries (no PIL/opencv/soundfile), but
 real codecs don't all need one: PPM (P6) and 24-bit BMP are header + raw
 pixel bytes, WAV/PCM16 is readable with the stdlib `wave` module, PNG is
-zlib (stdlib) + a numpy scanline unfilter, and GIF (r7) is a pure-Python
-variable-width LZW over a color table — all byte-exact,
+zlib (stdlib) + a numpy scanline unfilter (incl. Adam7 deinterlace as of
+r10), and GIF (r7) is a pure-Python variable-width LZW over a color table
+(incl. the 4-pass interlaced row order as of r10) — all byte-exact,
 decode(encode(x)) == x — so the engine's decode / resize / waveform-stats
 operators run for real on assets stored in any of these formats.
 
@@ -148,12 +149,13 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB → PNG (color type 2, 8-bit, filter 0, one IDAT).
 
     Stdlib-only writer: zlib stream over filter-type-0 scanlines. Not a
     size-optimized encoder (no filter search) — its job is byte-exact
-    round-trip fixtures for the decode path."""
+    round-trip fixtures for the decode path. ``interlace`` emits the
+    Adam7 pass sequence (r10 — each pass its own filtered scanline run)."""
     import struct
     import zlib
 
@@ -170,10 +172,23 @@ def encode_png(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * 3)], axis=1
-    ).tobytes()  # one filter-type byte (0) prefixes each scanline
+    def scanlines(img: np.ndarray) -> bytes:
+        hh = img.shape[0]
+        return np.concatenate(
+            [np.zeros((hh, 1), dtype=np.uint8),
+             img.reshape(hh, -1)], axis=1
+        ).tobytes()  # one filter-type byte (0) prefixes each scanline
+
+    if interlace:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                passes.append(scanlines(sub))
+        raw = b"".join(passes)
+    else:
+        raw = scanlines(a)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -187,6 +202,52 @@ def encode_png(arr: np.ndarray) -> bytes:
 # executor UDF, so it raises with a clear message instead of hanging a task
 # (r6 ADVICE — real-world megapixel PNGs are predominantly Paeth-filtered).
 _PNG_SLOW_FILTER_CEILING = 8 << 20
+
+
+# Adam7 pass grid (PNG spec §8.2): (x-start, y-start, x-step, y-step).
+# Row 0 of the 8×8 tile reads 1 6 4 6 2 6 4 6 — passes 4 and 6 START at
+# y=0 (their y offsets are 0/0, not mirrored from their x twins 3/5).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace_adam7(
+    raw: np.ndarray, h: int, w: int, ch: int
+) -> np.ndarray:
+    """Adam7 deinterlace (r10): the IDAT byte stream is 7 consecutive
+    sub-images, each filtered INDEPENDENTLY (filters reference the
+    previous row of the same pass), so each pass runs through the same
+    _png_unfilter and scatters onto the output grid with a strided numpy
+    assign. Empty passes (dimension rounds to 0) contribute no bytes."""
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        nbytes = hp * (1 + wp * ch)
+        sub = raw[pos : pos + nbytes]
+        if len(sub) != nbytes:
+            raise ValueError(
+                f"PNG Adam7 pass truncated at byte {pos} (wanted {nbytes})"
+            )
+        pos += nbytes
+        out[y0::dy, x0::dx] = _png_unfilter(sub, hp, wp * ch, ch).reshape(
+            hp, wp, ch
+        )
+    if pos != len(raw):
+        raise ValueError(
+            f"PNG Adam7 stream has {len(raw) - pos} trailing bytes"
+        )
+    return out
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -282,16 +343,19 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if comp or filt or ctype not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG header (comp={comp}, filt={filt}, "
                          f"ctype={ctype})")
     ch = _PNG_CHANNELS[ctype]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if len(raw) != h * (1 + w * ch):
-        raise ValueError(f"PNG scanline data truncated: {len(raw)}")
-    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if interlace:
+        px = _png_deinterlace_adam7(raw, h, w, ch)
+    else:
+        if len(raw) != h * (1 + w * ch):
+            raise ValueError(f"PNG scanline data truncated: {len(raw)}")
+        px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
     if ctype == 2:
         return np.ascontiguousarray(px)
     if ctype == 6:
@@ -417,11 +481,33 @@ def _gif_lzw_encode(seq: bytes, mcs: int) -> bytes:
     return bytes(stream)
 
 
-def _gif_image_block(indices: bytes, w: int, h: int, mcs: int) -> bytes:
-    """Full-coverage image descriptor at (0, 0) + sub-blocked LZW data."""
+def _gif_interlace_rows(ih: int) -> np.ndarray:
+    """Display-row indices in GIF interlace pass order (GIF89a spec
+    Appendix E: rows 0,8,16… then 4,12… then 2,6,10… then 1,3,5…). The
+    encoder STORES display rows in this sequence; the decoder scatters
+    the stored sequence back: out[order] = stored."""
+    return np.concatenate(
+        [
+            np.arange(0, ih, 8),
+            np.arange(4, ih, 8),
+            np.arange(2, ih, 4),
+            np.arange(1, ih, 2),
+        ]
+    )
+
+
+def _gif_image_block(
+    indices: bytes, w: int, h: int, mcs: int, interlace: bool = False
+) -> bytes:
+    """Full-coverage image descriptor at (0, 0) + sub-blocked LZW data.
+    ``interlace`` reorders the index rows into pass order and sets the
+    descriptor's interlace flag (bit 0x40)."""
     out = bytearray(b"\x2c" + b"\x00" * 4)  # descriptor, left=top=0
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0)  # no LCT, not interlaced
+    if interlace:
+        rows = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+        indices = rows[_gif_interlace_rows(h)].tobytes()
+    out.append(0x40 if interlace else 0)  # no LCT; interlace flag
     out.append(mcs)
     stream = _gif_lzw_encode(indices, mcs)
     for i in range(0, len(stream), 255):
@@ -441,10 +527,11 @@ def _gif_header(w: int, h: int, gct: np.ndarray, mcs: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(arr: np.ndarray) -> bytes:
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB → single-frame GIF89a with a global color
     table. No quantizer (fixture-writer, like encode_png): the image must
-    have ≤256 distinct colors or this raises."""
+    have ≤256 distinct colors or this raises. ``interlace`` writes the
+    4-pass interlaced row order (r10 — decode parity fixtures)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) array, got {a.shape}")
@@ -454,7 +541,9 @@ def encode_gif(arr: np.ndarray) -> bytes:
     gct[: len(palette)] = palette
     return (
         _gif_header(w, h, gct, mcs)
-        + _gif_image_block(indices.astype(np.uint8).tobytes(), w, h, mcs)
+        + _gif_image_block(
+            indices.astype(np.uint8).tobytes(), w, h, mcs, interlace
+        )
         + b"\x3b"
     )
 
@@ -583,8 +672,7 @@ def _gif_walk(
                     payload[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(-1, 3)
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
+            interlaced = bool(ipacked & 0x40)  # deinterlaced after LZW (r10)
             if not first_only and ((left, top) != (0, 0) or (iw, ih) != (w, h)):
                 # compositing a sub-rectangle onto the previous frame needs
                 # disposal-method handling — multi-frame walk only; the
@@ -609,7 +697,12 @@ def _gif_walk(
                 raise ValueError("GIF pixel data truncated")
             if idx.max(initial=0) >= len(ct):
                 raise ValueError("GIF index outside color table")
-            frames.append(np.ascontiguousarray(ct[idx.reshape(ih, iw)]))
+            rows = idx.reshape(ih, iw)
+            if interlaced:
+                disp = np.empty_like(rows)
+                disp[_gif_interlace_rows(ih)] = rows
+                rows = disp
+            frames.append(np.ascontiguousarray(ct[rows]))
             delays.append(pending_delay)
             pending_delay = 0
             if first_only:

@@ -349,11 +349,12 @@ def _synth_pixels(doc_id: int, text: str, w: int = 16, h: int = 12):
 
 def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> bytes:
     """Deterministic image payload for a document: its UTF-8 bytes tiled
-    into a (h, w, 3) pixel grid, encoded as PPM, BMP, PNG, GIF, or
-    baseline JPEG by doc_id — a format MIX, so the decode queries exercise
-    every real codec (the zlib+numpy PNG path, the r7 LZW GIF path, and
-    the r10 T.81 JPEG path included) through the same magic-byte dispatch
-    an ingested corpus would hit. GIF's ≤256-color constraint always holds
+    into a (h, w, 3) pixel grid, encoded as PPM, BMP, PNG, GIF, baseline
+    JPEG, Adam7-interlaced PNG, or interlaced GIF by doc_id — a 7-format
+    MIX, so the decode queries exercise every real codec path (the
+    zlib+numpy PNG scanline AND Adam7 deinterlace paths, the r7 LZW GIF
+    path in both row orders, and the r10 T.81 JPEG path) through the same
+    magic-byte dispatch an ingested corpus would hit. GIF's ≤256-color constraint always holds
     here: the grid has w·h = 192 pixels, so at most 192 distinct colors.
     JPEG uses quality 100 so the lossy decode stays within _JPEG_TOL of
     the source pixels."""
@@ -367,16 +368,21 @@ def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> by
         encode_png,
         encode_gif,
         lambda a: encode_jpeg(a, quality=100),
-    )[doc_id % 5]
+        # r10: the interlaced layouts as first-class mix members — Adam7
+        # PNG and 4-pass GIF decode through the same dispatch
+        lambda a: encode_png(a, interlace=True),
+        lambda a: encode_gif(a, interlace=True),
+    )[doc_id % 7]
     return enc(pix)
 
 
 @query("multimodal_image_decode_stats", tags=("multimodal", "codec", "pandas-udf"))
 def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode over the corpus: synthesize a PPM/BMP/PNG/GIF/
-    baseline-JPEG asset per document (ingest stand-in, format mixed by
-    doc_id so all five real codecs run — PNG through the zlib+numpy
-    scanline path, GIF through the r7 variable-width LZW path, JPEG
+    baseline-JPEG/interlaced-PNG/interlaced-GIF asset per document
+    (ingest stand-in, 7-format mix by doc_id so every real codec path
+    runs — PNG through the zlib+numpy scanline AND r10 Adam7 paths, GIF
+    through the r7 variable-width LZW path in both row orders, JPEG
     through the r10 T.81 Huffman+IDCT path), decode it with the
     zero-dependency codec, and aggregate per-source brightness stats.
     Self-evidencing (rows-only query): ``roundtrip_ok_all`` is true only
@@ -387,7 +393,15 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
 
-    encoders = (encode_ppm, encode_bmp, encode_png, encode_gif, None)
+    encoders = (
+        encode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_gif,
+        None,  # JPEG: lossy — bounded-error proof below
+        lambda a: encode_png(a, interlace=True),
+        lambda a: encode_gif(a, interlace=True),
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -404,7 +418,7 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 out["brightness"].append(float(np.mean(img)))
                 out["height"].append(img.shape[0])
                 out["width"].append(img.shape[1])
-                enc = encoders[int(did) % 5]
+                enc = encoders[int(did) % 7]
                 if enc is None:  # JPEG: lossy — bound vs source pixels
                     src = _synth_pixels(int(did), text)
                     ok = bool(

@@ -173,8 +173,14 @@ def test_png_unsupported_variants_raise():
 
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_image(patch_ihdr(good, 8, 16))
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    # interlace decodes for real since r10; flipping the flag on a
+    # SEQUENTIAL stream is now corrupt-Adam7-layout data (which exact
+    # ValueError — truncated pass, trailing bytes, or a garbage filter
+    # byte — depends on where the misread bytes land), not unsupported
+    with pytest.raises(ValueError):
         decode_image(patch_ihdr(good, 12, 1))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_image(patch_ihdr(good, 12, 2))
 
 
 def test_gif_roundtrip_byte_exact():
@@ -213,11 +219,12 @@ def test_gif_spec_framing():
     ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     spliced = raw[:gct_end] + ext + raw[gct_end:]
     assert np.array_equal(decode_image(spliced), a)
-    # interlaced flag raises, like Adam7 PNG
+    # interlace decodes for real since r10 — flipping the flag on this
+    # 1-row image is a NO-OP reorder (pass 1 covers row 0), so it must
+    # still decode to the same pixels instead of raising
     img_desc = bytearray(raw)
     img_desc[gct_end + 9] |= 0x40  # image-descriptor packed byte
-    with pytest.raises(NotImplementedError):
-        decode_image(bytes(img_desc))
+    assert np.array_equal(decode_image(bytes(img_desc)), a)
     # >256 distinct colors is an encoder error, not silent quantization
     rng = np.random.default_rng(2)
     with pytest.raises(ValueError):
@@ -525,3 +532,75 @@ def test_gif_animation_delay_roundtrip_property():
             assert np.array_equal(a, b)
 
     check()
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 encode → decode equals the image AND the sequential decode
+    (r10): odd sizes exercise empty/partial passes; 1×1 hits the
+    degenerate single-pass grid."""
+    from omnidata_etl_spark.codecs import decode_image, encode_png
+
+    for h, w in ((1, 1), (2, 3), (7, 5), (8, 8), (13, 17), (16, 1)):
+        img = _img(h, w)
+        via_adam7 = decode_image(encode_png(img, interlace=True))
+        assert via_adam7.shape == (h, w, 3)
+        assert (via_adam7 == img).all(), (h, w)
+        assert (via_adam7 == decode_image(encode_png(img))).all()
+
+
+def test_png_adam7_truncated_pass_raises():
+    import struct
+    import zlib
+
+    from omnidata_etl_spark.codecs import decode_image, encode_png
+
+    png = bytearray(encode_png(_img(9, 9), interlace=True))
+    # locate IDAT, shorten its decompressed payload by one byte
+    at = png.find(b"IDAT")
+    ln = struct.unpack(">I", png[at - 4 : at])[0]
+    raw = zlib.decompress(bytes(png[at + 4 : at + 4 + ln]))
+    bad = zlib.compress(raw[:-1])
+    rebuilt = (
+        bytes(png[: at - 4])
+        + struct.pack(">I", len(bad))
+        + b"IDAT"
+        + bad
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bad) & 0xFFFFFFFF)
+        + bytes(png[at + 8 + ln :])
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_image(rebuilt)
+
+
+def test_gif_interlace_roundtrip():
+    """Interlaced GIF encode → decode equals the image and the
+    non-interlaced decode; heights below/above the 8-row pass grid."""
+    from omnidata_etl_spark.codecs import decode_image, encode_gif
+
+    for h, w in ((1, 4), (3, 3), (8, 5), (11, 7), (21, 2)):
+        img = (_img(h, w) // 32) * 32  # ≤256 colors for the no-quantizer
+        via_il = decode_image(encode_gif(img, interlace=True))
+        assert (via_il == img).all(), (h, w)
+        assert (via_il == decode_image(encode_gif(img))).all()
+
+
+def test_gif_interlace_actually_reorders_rows():
+    """The interlaced byte stream must differ from the sequential one
+    (same LZW content in a different row order) while decoding equal —
+    guards against an encoder that sets the flag but skips the
+    reorder (a self-consistent bug pair the roundtrip alone can't see)."""
+    import numpy as np
+
+    from omnidata_etl_spark.codecs import (
+        _gif_interlace_rows,
+        decode_image,
+        encode_gif,
+    )
+
+    img = np.zeros((9, 4, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(9, dtype=np.uint8).reshape(9, 1) * 20
+    a, b = encode_gif(img), encode_gif(img, interlace=True)
+    assert a != b
+    assert (decode_image(a) == decode_image(b)).all()
+    # spec appendix E order for 9 rows
+    assert _gif_interlace_rows(9).tolist() == [0, 8, 4, 2, 6, 1, 3, 5, 7]
