@@ -631,14 +631,32 @@ def etl_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGSERIAL opt-in — corpus row counts exceed INT_MAX. doc_id is the
     tiebreak so the permutation is total and the oracle differential is
     exact (md5 hex parity between Spark and DuckDB is itself part of the
-    check)."""
-    from omnidata_etl_spark.ingest.load import add_surrogate_key
+    check).
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    keyed = docs.withColumn(
-        "skey",
-        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))),
+    add_surrogate_key persists its ranged frame for the two-consumer
+    build; repeated builds in one long-lived session would accrete one
+    persisted O(corpus) frame each (the r9 ADVICE #3 leak class), so the
+    whole result rides session_df_memo — one shared frame per
+    (sf_dir, parquet-fingerprint)."""
+    from omnidata_etl_spark.ingest.load import add_surrogate_key
+    from omnidata_etl_spark.queries._util import session_df_memo
+    from omnidata_etl_spark.queries.similarity import _parquet_fingerprint
+
+    def build():
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        keyed = docs.withColumn(
+            "skey",
+            F.md5(
+                F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))
+            ),
+        )
+        return add_surrogate_key(
+            keyed, order_by=["skey", "doc_id"], as_long=True
+        ).withColumnRenamed("id", "pos")
+
+    key = (
+        "global_shuffle",
+        sf_dir,
+        _parquet_fingerprint(sf_dir, "documents"),
     )
-    return add_surrogate_key(
-        keyed, order_by=["skey", "doc_id"], as_long=True
-    ).withColumnRenamed("id", "pos")
+    return session_df_memo(spark, key, build)

@@ -345,3 +345,46 @@ def test_ingest_avro_query_matches_oracle(spark):
     )
     assert spark_rows == duck
     assert spark_rows[2][5] is None  # the planted union-null row
+
+
+def test_read_avro_df_schema_evolution(spark, tmp_path):
+    """Mixed writer schemas in one directory — the Avro evolution
+    contract: the reader schema (taken from the lexically-first file)
+    projects every file; fields ADDED by later writers are dropped,
+    fields MISSING from older writers read as NULL. Mirrors
+    ingest_schema_evolution's parquet semantics."""
+    d = tmp_path / "evo"
+    d.mkdir()
+    v1 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    v0 = {  # older writer: no `note`
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    v2 = {  # newer writer: extra field the reader doesn't know
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "note", "type": ["null", "string"]},
+            {"name": "extra", "type": "long"},
+        ],
+    }
+    write_avro(str(d / "a_reader.avro"), v1, [{"a": 1, "note": "n1"}])
+    write_avro(str(d / "b_old.avro"), v0, [{"a": 2}])
+    write_avro(
+        str(d / "c_new.avro"), v2, [{"a": 3, "note": None, "extra": 9}]
+    )
+    from omnidata_etl_spark.ingest.avro import read_avro_df
+
+    df = read_avro_df(spark, str(d))
+    assert set(df.columns) == {"a", "note"}
+    got = {r["a"]: r["note"] for r in df.collect()}
+    assert got == {1: "n1", 2: None, 3: None}
