@@ -91,6 +91,12 @@ RATIO_EXCLUDE = {
     "ingest_xlsx": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
     "ingest_xls": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
     "ingest_xml": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
+    "ingest_avro": "fixture-scale ingest demo; oracle is a pinned VALUES constant",
+    "sink_avro_roundtrip": (
+        "sink demo: Spark side WRITES + re-reads Avro container files; "
+        "the oracle is a plain 25-row parquet scan of the same rows — "
+        "not equivalent work, so the ratio is classification noise"
+    ),
 }
 
 

@@ -10,10 +10,11 @@ decode(encode(x)) == x — so the engine's decode / resize / waveform-stats
 operators run for real on assets stored in any of these formats.
 
 Scope: JPEG decode/encode is REAL as of r10 (VERDICT r9 #7) —
-codecs_jpeg.py implements baseline-sequential T.81 (Huffman + dequant +
-IDCT + chroma upsampling + restart markers), validated against real
-libjpeg-produced files plus DCT/roundtrip identities; progressive (SOF2)
-/ arithmetic / 12-bit raise NotImplementedError with an actionable
+codecs_jpeg.py implements T.81 sequential (Huffman + dequant + IDCT +
+chroma upsampling + restart markers) AND progressive (SOF2 spectral
+selection + successive approximation), validated against real
+libjpeg-produced files plus DCT/roundtrip/cross-pipeline identities;
+arithmetic / 12-bit raise NotImplementedError with an actionable
 message. WebP/MP3 remain out of scope without a third-party library and
 raise likewise from the magic-byte dispatch, so swapping in pillow later
 touches only `decode_image`/`decode_audio`.

@@ -3,25 +3,32 @@ numpy + stdlib — closes the last real multimodal capability gap
 (VERDICT r9 #7): compressed-photo corpora are dominated by JPEG, and the
 engine's decode/resize/feature ops previously raised on it.
 
-Scope — exactly the baseline process every camera/web JPEG uses:
-  * decode: SOF0/SOF1 (sequential DCT, Huffman), 8-bit samples, grayscale
-    or YCbCr with any h×v sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0),
-    restart markers, 16-bit quant tables, JFIF/EXIF APPn passthrough.
-    Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-    raise NotImplementedError with an actionable message (the codec
-    family's honest-scope pattern).
-  * encode: baseline 4:4:4 or 4:2:0, Annex-K standard Huffman + quality-
-    scaled Annex-K quant tables (the libjpeg quality formula) — used for
-    fixtures and as the re-encode side of resize pipelines.
+Scope — the two DCT Huffman processes real-world JPEGs use:
+  * decode: SOF0/SOF1 (sequential) AND — r10 — SOF2 (progressive:
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOBRUN), 8-bit samples, grayscale or YCbCr with
+    any h×v sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0), restart
+    markers, 16-bit quant tables, JFIF/EXIF APPn passthrough.
+    Arithmetic coding, 12-bit, and hierarchical raise
+    NotImplementedError with an actionable message (the codec family's
+    honest-scope pattern).
+  * encode: baseline 4:4:4 or 4:2:0, plus a progressive 4:4:4 encoder
+    with a fixed successive-approximation scan script
+    (encode_jpeg_progressive) — Annex-K standard Huffman +
+    quality-scaled Annex-K quant tables (the libjpeg quality formula).
 
 Validation strategy (this container has no libjpeg/PIL to diff against):
 the DCT pair is pinned by its mathematical identity (IDCT∘FDCT == id to
 float precision), encode→decode round-trips are bounded by per-pixel
 tolerance on smooth content and exact on solid colors (DC-only blocks),
-and the decoder is additionally pinned against two REAL libjpeg-produced
-files embedded in tests (CPython's 16×16 4:2:0 test logo, IPython's 2×2
-grayscale) — structure parsed, dimensions exact, decoded planes
-regression-pinned (tests/test_codecs_jpeg.py).
+the decoder is pinned against REAL libjpeg-produced files (CPython's
+16×16 4:2:0 test logo, IPython's 2×2 grayscale, and — progressive —
+the two nodejs banner JPEGs in /usr/share/doc, one plain spectral
+selection, one with AC successive-approximation refinement), and the
+progressive pipeline is cross-validated against the baseline one:
+both encoders emit IDENTICAL quantized coefficients for the same
+pixels, so the two decodes must match byte-for-byte
+(tests/test_codecs_jpeg.py).
 
 Like every codec here: pure bytes→numpy functions, called from
 Arrow-batched mapInPandas ops (queries/multimodal.py), never per-row py4j.
@@ -216,12 +223,17 @@ class _BitReader:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated). Baseline
+    sequential (SOF0/1) and — r10 — progressive (SOF2: spectral selection
+    + successive approximation, DC/AC first and refinement scans,
+    EOBRUN)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None
+    progressive = False
+    coef_store: dict[int, np.ndarray] | None = None
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -233,7 +245,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD8:
             i += 2
             continue
-        if m == 0xD9:  # EOI before SOS: no image
+        if m == 0xD9:  # EOI: progressive reconstructs here
             break
         ln = struct.unpack(">H", payload[i + 2 : i + 4])[0]
         seg = payload[i + 4 : i + 2 + ln]
@@ -262,11 +274,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + cnt])
                 huff[(tc, th)], _ = _canonical_codes(bits, vals)
                 p += 17 + cnt
-        elif m in (0xC0, 0xC1):  # SOF0/1: baseline & extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(
-                    f"{prec}-bit JPEG not supported (8-bit baseline only)"
+                    f"{prec}-bit JPEG not supported (8-bit only)"
                 )
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
@@ -275,15 +287,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif m == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) not supported — baseline "
-                "sequential only; re-encode with baseline settings"
-            )
+            progressive = m == 0xC2
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{m:02X} (lossless/arithmetic/"
-                "hierarchical) not supported — baseline sequential only"
+                "hierarchical) not supported — baseline/progressive only"
             )
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -291,14 +299,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            tables = {}
-            for c in range(ns):
-                cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
-                tables[cs] = (td_ta >> 4, td_ta & 15)
-            return _decode_scan(
-                payload, i + 2 + ln, frame, qt, huff, tables, restart_interval
+            if not progressive:
+                tables = {}
+                for c in range(ns):
+                    cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
+                    tables[cs] = (td_ta >> 4, td_ta & 15)
+                return _decode_scan(
+                    payload, i + 2 + ln, frame, qt, huff, tables,
+                    restart_interval,
+                )
+            if coef_store is None:
+                coef_store = _init_coef_store(frame)
+            scan = {
+                "comps": [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)
+                ],
+                "ss": seg[1 + 2 * ns],
+                "se": seg[2 + 2 * ns],
+                "ah": seg[3 + 2 * ns] >> 4,
+                "al": seg[3 + 2 * ns] & 15,
+            }
+            i = _progressive_scan(
+                payload, i + 2 + ln, frame, huff, scan, coef_store,
+                restart_interval,
             )
+            continue
         i += 2 + ln
+    if progressive and coef_store is not None:
+        return _reconstruct_progressive(frame, coef_store, qt)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -357,6 +386,11 @@ def _decode_scan(data, pos, frame, qt, huff, tables, ri) -> np.ndarray:
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out.append(p[:h, :w])
+    return _planes_to_rgb(out)
+
+
+def _planes_to_rgb(out: list[np.ndarray]) -> np.ndarray:
+    """Cropped float planes (1 = grayscale, 3 = YCbCr) → uint8 RGB."""
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
@@ -370,6 +404,432 @@ def _decode_scan(data, pos, frame, qt, huff, tables, ri) -> np.ndarray:
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decode (r10)
+
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mx, my): sampling maxima and MCU grid dims."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx = -(-frame["w"] // (8 * hmax))
+    my = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mx, my
+
+
+def _comp_block_grid(frame, c):
+    """Non-interleaved block-grid dims for one component (T.81 A.2.2:
+    ceil(component samples / 8), NOT the MCU-padded grid)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _init_coef_store(frame) -> dict[int, np.ndarray]:
+    """Per-component zig-zag coefficient accumulators sized to the
+    MCU-padded grid (interleaved DC scans address the full grid; AC
+    scans write the top-left non-interleaved sub-grid)."""
+    hmax, vmax, mx, my = _frame_geometry(frame)
+    return {
+        c["id"]: np.zeros((my * c["v"], mx * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _progressive_scan(data, pos, frame, huff, scan, coef, ri) -> int:
+    """One progressive SOS: updates `coef` in place, returns the byte
+    offset of the marker terminating the scan's entropy data."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    br = _BitReader(data, pos)
+    comps_by_id = {c["id"]: c for c in frame["comps"]}
+    state = {"eobrun": 0}
+
+    def dc_first(cid, by, bx, pred):
+        tbl = huff[(0, _scan_td[cid])]
+        s = br.decode_huff(tbl)
+        pred += _extend(br.receive(s), s)
+        coef[cid][by, bx, 0] = pred << al
+        return pred
+
+    def dc_refine(cid, by, bx):
+        if br.read_bit():
+            coef[cid][by, bx, 0] |= 1 << al
+
+    def ac_first(cid, by, bx):
+        blk = coef[cid][by, bx]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        tbl = huff[(1, _scan_ta[cid])]
+        k = ss
+        while k <= se:
+            rs = br.decode_huff(tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)-1 MORE all-zero bands
+                    state["eobrun"] = (1 << r) - 1 + br.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG progressive AC run past band end")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(cid, by, bx):
+        """T.81 G.1.2.3 AC successive-approximation refinement (the
+        libjpeg decode_mcu_AC_refine structure): newly-nonzero ±1<<al
+        insertions run-length-coded over ZERO-HISTORY positions, with one
+        correction bit consumed at every nonzero-history position
+        passed — including the band tail covered by an EOB run."""
+        blk = coef[cid][by, bx]
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            tbl = huff[(1, _scan_ta[cid])]
+            while k <= se:
+                rs = br.decode_huff(tbl)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = (1 << r) + br.receive(r)
+                        break  # tail handled by the eobrun branch below
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG AC refinement magnitude must be 1"
+                        )
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    _scan_td = {cid: td for cid, td, _ in scan["comps"]}
+    _scan_ta = {cid: ta for cid, _, ta in scan["comps"]}
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC bands")
+    if ss > 0 and len(scan["comps"]) != 1:
+        raise ValueError("JPEG progressive AC scan must be non-interleaved")
+
+    if len(scan["comps"]) > 1:  # interleaved DC scan: MCU walk
+        hmax, vmax, mx, my = _frame_geometry(frame)
+        preds = {cid: 0 for cid, _, _ in scan["comps"]}
+        for mcu in range(mx * my):
+            if ri and mcu and mcu % ri == 0:
+                br.restart()
+                preds = {cid: 0 for cid in preds}
+                state["eobrun"] = 0
+            myi, mxi = divmod(mcu, mx)
+            for cid, _, _ in scan["comps"]:
+                c = comps_by_id[cid]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        gy, gx = myi * c["v"] + by, mxi * c["h"] + bx
+                        if ah == 0:
+                            preds[cid] = dc_first(cid, gy, gx, preds[cid])
+                        else:
+                            dc_refine(cid, gy, gx)
+    else:  # single-component scan: block-grid walk
+        cid = scan["comps"][0][0]
+        c = comps_by_id[cid]
+        gby, gbx = _comp_block_grid(frame, c)
+        pred = 0
+        for blkno in range(gby * gbx):
+            if ri and blkno and blkno % ri == 0:
+                br.restart()
+                pred = 0
+                state["eobrun"] = 0
+            by, bx = divmod(blkno, gbx)
+            if ss == 0:
+                if ah == 0:
+                    pred = dc_first(cid, by, bx, pred)
+                else:
+                    dc_refine(cid, by, bx)
+            elif ah == 0:
+                ac_first(cid, by, bx)
+            else:
+                ac_refine(cid, by, bx)
+
+    # advance to the marker that terminated (or follows) the entropy data
+    p = br.pos
+    while p < len(data) - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _reconstruct_progressive(frame, coef, qt) -> np.ndarray:
+    """Dequantize + batch IDCT every accumulated block, stitch planes,
+    upsample, crop, color-convert (one einsum per component — the
+    progressive path pays its IDCT once at EOI, not per scan)."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    out = []
+    for c in frame["comps"]:
+        blocks = coef[c["id"]].astype(np.float64)  # (by, bx, 64) zig-zag
+        deq = blocks * qt[c["tq"]][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[..., ZIGZAG] = deq
+        by, bx = nat.shape[:2]
+        spatial = (
+            np.einsum(
+                "ij,abjk,kl->abil", _C.T, nat.reshape(by, bx, 8, 8), _C
+            )
+            + 128.0
+        )
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out.append(plane[:h, :w])
+    return _planes_to_rgb(out)
+
+
+# -------------------------------------------------- progressive encode (r10)
+
+
+def _plane_qcoefs(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """(H, W) float plane → (by, bx, 64) quantized coefficients in
+    zig-zag order (batch FDCT — the same math _encode_block applies
+    per block, so baseline and progressive encodes of one image carry
+    IDENTICAL coefficients; the cross-pipeline equality test rests on
+    this)."""
+    p = _pad_to(plane, 8, 8)
+    hh, ww = p.shape
+    by, bx = hh // 8, ww // 8
+    blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    nat = np.einsum("ij,abjk,kl->abil", _C, blocks, _C.T).reshape(by, bx, 64)
+    zz = nat[..., ZIGZAG]
+    return np.round(zz / qtbl).astype(np.int64)
+
+
+def _emit_ac_first(blk, ss, se, al, ac_enc, bw) -> None:
+    """AC first scan for one block (T.81 G.1.2.2): magnitudes >> al,
+    per-block EOB (run length 1 — legal; EOBRUN>1 decode is exercised by
+    the real libjpeg fixtures)."""
+    vals = [int(v) for v in blk[ss : se + 1]]
+    shifted = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in vals]
+    last = -1
+    for idx, v in enumerate(shifted):
+        if v:
+            last = idx
+    r = 0
+    for idx in range(last + 1):
+        v = shifted[idx]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_enc[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last < se - ss:
+        code, ln = ac_enc[0x00]  # EOB, run 1
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(blk, ss, se, al, ac_enc, bw) -> None:
+    """AC refinement scan for one block (the jcphuff encode_mcu_AC_refine
+    structure): ZRL checks run at every nonzero position BEFORE that
+    position's correction bit is buffered — the ordering that keeps the
+    decoder's interleaved walk aligned; buffered bits flush after each
+    emitted symbol; tail corrections ride the per-block EOB."""
+    p1 = 1
+    absv = [abs(int(v)) >> al for v in blk[ss : se + 1]]
+    signs = [int(v) > 0 for v in blk[ss : se + 1]]
+    eob = -1  # index of LAST newly-nonzero coefficient
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eob = idx
+    r = 0
+    pending: list[int] = []
+    for idx in range(eob + 1):
+        t = absv[idx]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and idx <= eob:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # history-nonzero: one correction bit
+            pending.append(t & p1)
+            continue
+        code, ln = ac_enc[(r << 4) | 1]  # newly-nonzero ±1
+        bw.write(code, ln)
+        bw.write(1 if signs[idx] else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending or eob < len(absv) - 1:
+        code, ln = ac_enc[0x00]  # EOB run 1 + the tail's corrections
+        bw.write(code, ln)
+        for b in pending:
+            bw.write(b, 1)
+        for idx in range(eob + 1, len(absv)):
+            if absv[idx] > 1:
+                bw.write(absv[idx] & p1, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) → progressive JPEG
+    (SOF2), 4:4:4, fixed successive-approximation scan script:
+
+      DC all-components Al=1 → per-component AC 1-5 / 6-63 at Al=1 →
+      DC refine Al=0 → per-component AC refine Ah=1 Al=0
+
+    — every progressive scan KIND the decoder implements (DC/AC first +
+    refinement) appears. The quantized coefficients are byte-identical
+    to encode_jpeg's at the same quality, so decode(progressive) must
+    equal decode(baseline) EXACTLY — the cross-pipeline identity
+    tests/test_codecs_jpeg.py pins (a compensating encoder/decoder bug
+    pair cannot survive it, because the baseline pipeline is itself
+    pinned against real libjpeg files)."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ql, qc = _quality_tables(quality)
+    _, dcl_enc = _canonical_codes(*_HUFF_DC_LUMA)
+    _, acl_enc = _canonical_codes(*_HUFF_AC_LUMA)
+    _, dcc_enc = _canonical_codes(*_HUFF_DC_CHROMA)
+    _, acc_enc = _canonical_codes(*_HUFF_AC_CHROMA)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        x = arr.astype(np.float64)
+        planes = [
+            0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2],
+            -0.168736 * x[..., 0] - 0.331264 * x[..., 1]
+            + 0.5 * x[..., 2] + 128.0,
+            0.5 * x[..., 0] - 0.418688 * x[..., 1]
+            - 0.081312 * x[..., 2] + 128.0,
+        ]
+    nc = len(planes)
+    qcoefs = [
+        _plane_qcoefs(p, ql if ci == 0 else qc)
+        for ci, p in enumerate(planes)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        ql.astype(np.uint8)
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            qc.astype(np.uint8)
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    dht = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)]
+    if not gray:
+        dht += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA)]
+    for tc_th, (bits, vals) in dht:
+        out += (
+            b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(vals))
+            + bytes([tc_th]) + bytes(bits) + bytes(vals)
+        )
+
+    def sos_header(comp_specs, ss, se, ah, al) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comp_specs), len(comp_specs)
+        )
+        for cid, td, ta in comp_specs:
+            hdr += bytes([cid, (td << 4) | ta])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    def dc_scan(al, refine: bool) -> None:
+        specs = [
+            (ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)
+        ]
+        out.extend(sos_header(specs, 0, 0, al + 1 if refine else 0, al))
+        bw = _BitWriter()
+        # interleaved MCU walk — 4:4:4, so one block per component per MCU
+        by, bx = qcoefs[0].shape[:2]
+        preds = [0] * nc
+        for mcu in range(by * bx):
+            yy, xx = divmod(mcu, bx)
+            for ci in range(nc):
+                dc = int(qcoefs[ci][yy, xx, 0])
+                if refine:
+                    bw.write((dc >> al) & 1, 1)
+                    continue
+                v = dc >> al
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = abs(diff).bit_length()
+                code, ln = (dcl_enc if ci == 0 else dcc_enc)[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.flush()
+        out.extend(bw.out)
+
+    def ac_scan(ci, ss, se, ah, al) -> None:
+        out.extend(sos_header([(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, ah, al))
+        bw = _BitWriter()
+        enc = acl_enc if ci == 0 else acc_enc
+        by, bx = qcoefs[ci].shape[:2]
+        for blkno in range(by * bx):
+            yy, xx = divmod(blkno, bx)
+            blk = qcoefs[ci][yy, xx]
+            if ah == 0:
+                _emit_ac_first(blk, ss, se, al, enc, bw)
+            else:
+                _emit_ac_refine(blk, ss, se, al, enc, bw)
+        bw.flush()
+        out.extend(bw.out)
+
+    dc_scan(1, refine=False)
+    for ci in range(nc):
+        ac_scan(ci, 1, 5, 0, 1)
+        ac_scan(ci, 6, 63, 0, 1)
+    dc_scan(0, refine=True)
+    for ci in range(nc):
+        ac_scan(ci, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ------------------------------------------------------------------ encoder

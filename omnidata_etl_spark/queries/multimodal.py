@@ -350,16 +350,20 @@ def _synth_pixels(doc_id: int, text: str, w: int = 16, h: int = 12):
 def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> bytes:
     """Deterministic image payload for a document: its UTF-8 bytes tiled
     into a (h, w, 3) pixel grid, encoded as PPM, BMP, PNG, GIF, baseline
-    JPEG, Adam7-interlaced PNG, or interlaced GIF by doc_id — a 7-format
-    MIX, so the decode queries exercise every real codec path (the
-    zlib+numpy PNG scanline AND Adam7 deinterlace paths, the r7 LZW GIF
-    path in both row orders, and the r10 T.81 JPEG path) through the same
-    magic-byte dispatch an ingested corpus would hit. GIF's ≤256-color constraint always holds
+    JPEG, Adam7-interlaced PNG, interlaced GIF, or progressive JPEG by
+    doc_id — an 8-format MIX, so the decode queries exercise every real
+    codec path (the zlib+numpy PNG scanline AND Adam7 deinterlace paths,
+    the r7 LZW GIF path in both row orders, and the r10 T.81 JPEG path
+    both sequential and progressive) through the same magic-byte dispatch
+    an ingested corpus would hit. GIF's ≤256-color constraint always holds
     here: the grid has w·h = 192 pixels, so at most 192 distinct colors.
     JPEG uses quality 100 so the lossy decode stays within _JPEG_TOL of
     the source pixels."""
     from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
-    from omnidata_etl_spark.codecs_jpeg import encode_jpeg
+    from omnidata_etl_spark.codecs_jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     pix = _synth_pixels(doc_id, text, w, h)
     enc = (
@@ -372,18 +376,22 @@ def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> by
         # PNG and 4-pass GIF decode through the same dispatch
         lambda a: encode_png(a, interlace=True),
         lambda a: encode_gif(a, interlace=True),
-    )[doc_id % 7]
+        # r10: progressive JPEG (SOF2 spectral selection + successive
+        # approximation) — same coefficients as baseline at q100
+        lambda a: encode_jpeg_progressive(a, quality=100),
+    )[doc_id % 8]
     return enc(pix)
 
 
 @query("multimodal_image_decode_stats", tags=("multimodal", "codec", "pandas-udf"))
 def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode over the corpus: synthesize a PPM/BMP/PNG/GIF/
-    baseline-JPEG/interlaced-PNG/interlaced-GIF asset per document
-    (ingest stand-in, 7-format mix by doc_id so every real codec path
-    runs — PNG through the zlib+numpy scanline AND r10 Adam7 paths, GIF
-    through the r7 variable-width LZW path in both row orders, JPEG
-    through the r10 T.81 Huffman+IDCT path), decode it with the
+    baseline-JPEG/interlaced-PNG/interlaced-GIF/progressive-JPEG asset
+    per document (ingest stand-in, 8-format mix by doc_id so every real
+    codec path runs — PNG through the zlib+numpy scanline AND r10 Adam7
+    paths, GIF through the r7 variable-width LZW path in both row
+    orders, JPEG through the r10 T.81 Huffman+IDCT path both sequential
+    and progressive), decode it with the
     zero-dependency codec, and aggregate per-source brightness stats.
     Self-evidencing (rows-only query): ``roundtrip_ok_all`` is true only
     if EVERY asset in the group proves its decode — byte-exact re-encode
@@ -398,9 +406,10 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         encode_bmp,
         encode_png,
         encode_gif,
-        None,  # JPEG: lossy — bounded-error proof below
+        None,  # baseline JPEG: lossy — bounded-error proof below
         lambda a: encode_png(a, interlace=True),
         lambda a: encode_gif(a, interlace=True),
+        None,  # progressive JPEG: same lossy bound
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -418,7 +427,7 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 out["brightness"].append(float(np.mean(img)))
                 out["height"].append(img.shape[0])
                 out["width"].append(img.shape[1])
-                enc = encoders[int(did) % 7]
+                enc = encoders[int(did) % 8]
                 if enc is None:  # JPEG: lossy — bound vs source pixels
                     src = _synth_pixels(int(did), text)
                     ok = bool(

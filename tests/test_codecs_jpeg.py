@@ -137,12 +137,15 @@ def test_decode_image_dispatch_and_resize():
     assert decode_image(resized).shape == (6, 8, 3)
 
 
-def test_progressive_raises_actionable():
-    # flip the embedded file's SOF0 marker to SOF2 (progressive)
+def test_sof2_on_sequential_scan_rejected():
+    """Progressive decodes for real since r10; flipping a BASELINE file's
+    SOF0 to SOF2 leaves a sequential SOS (Ss=0, Se=63) that is illegal in
+    a progressive frame — the decoder rejects it as corrupt instead of
+    misreading the scan."""
     data = bytearray(PYTHON_LOGO)
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC and AC"):
         decode_jpeg(bytes(data))
 
 
@@ -204,3 +207,132 @@ def test_jpeg_roundtrip_property():
         assert err <= 4, (h, w, sub, err)
 
     check()
+
+
+# ---------------------------------------------------- progressive (r10)
+
+
+def test_progressive_equals_baseline_exactly():
+    """The cross-pipeline identity: progressive and baseline encodes of
+    the same pixels carry IDENTICAL quantized coefficients (shared FDCT +
+    tables), so the two decodes must match byte-for-byte. The baseline
+    pipeline is itself pinned against real libjpeg files, so a
+    compensating progressive encoder/decoder bug pair cannot pass."""
+    import numpy as np
+
+    from omnidata_etl_spark.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w, q in ((8, 8, 90), (16, 24, 75), (13, 17, 90), (5, 3, 100),
+                    (40, 33, 50)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling="4:4:4"))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(base, prog), (h, w, q)
+
+
+def test_progressive_grayscale_and_solid():
+    import numpy as np
+
+    from omnidata_etl_spark.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    g = np.random.default_rng(3).integers(0, 256, size=(11, 9), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(g, quality=85)),
+        decode_jpeg(encode_jpeg(g, quality=85)),
+    )
+    solid = np.full((16, 16, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(solid, quality=95))
+    assert np.array_equal(out, solid)  # DC-only blocks decode exactly
+
+
+def test_progressive_scan_structure_is_really_progressive():
+    """The emitted stream must be SOF2 with multiple SOS scans covering
+    DC first, AC first (two bands), DC refine, AC refine — i.e., the
+    equality test above exercised every scan kind, not a degenerate
+    single-scan file."""
+    import struct
+
+    import numpy as np
+
+    from omnidata_etl_spark.codecs_jpeg import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(
+        np.random.default_rng(1).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    )
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    scans = []
+    i = 2
+    while i < len(data) - 2:
+        if data[i] != 0xFF or data[i + 1] in (0x00,) or 0xD0 <= data[i + 1] <= 0xD7:
+            i += 1
+            continue
+        m = data[i + 1]
+        if m == 0xD9:
+            break
+        ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if m == 0xDA:
+            seg = data[i + 4 : i + 2 + ln]
+            ns = seg[0]
+            scans.append(
+                (seg[1 + 2 * ns], seg[2 + 2 * ns],
+                 seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15)
+            )
+            # skip entropy to next marker
+            i += 2 + ln
+            while i < len(data) - 1 and not (
+                data[i] == 0xFF and data[i + 1] != 0x00
+                and not (0xD0 <= data[i + 1] <= 0xD7)
+            ):
+                i += 1
+            continue
+        i += 2 + ln
+    assert (0, 0, 0, 1) in scans  # DC first Al=1
+    assert (1, 5, 0, 1) in scans and (6, 63, 0, 1) in scans  # AC bands
+    assert (0, 0, 1, 0) in scans  # DC refine
+    assert (1, 63, 1, 0) in scans  # AC refine
+    assert len(scans) == 11  # 1 + 3*2 + 1 + 3
+
+
+def test_progressive_real_libjpeg_fixtures():
+    """Two REAL libjpeg-produced progressive files shipped in this
+    container (/usr/share/doc/nodejs): 493-wide banner images, mostly
+    white body below a dark logo row. The thin one is plain spectral
+    selection; the full one adds AC successive approximation (Al=1
+    first pass + Ah=1 refinement) — and both decode the SAME logo
+    pixel in the shared banner region, a cross-stream consistency no
+    broken refinement path could produce."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from omnidata_etl_spark.codecs_jpeg import decode_jpeg
+
+    thin = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    full = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not (os.path.exists(thin) and os.path.exists(full)):
+        _pytest.skip("nodejs doc fixtures not present on this host")
+    a = decode_jpeg(open(thin, "rb").read())
+    b = decode_jpeg(open(full, "rb").read())
+    assert a.shape == (58, 493, 3)
+    assert b.shape == (312, 493, 3)
+    # bodies are white stripes
+    assert a[10:].mean() > 240
+    assert b[40:].mean() > 248
+    # the shared banner, decoded from two different scan scripts (one
+    # with AC refinement, one without): regression-pinned per file, and
+    # within lossy tolerance of each other (separate encodes of the same
+    # art — exact cross-file equality is not expected)
+    assert a[0, 0].tolist() == [68, 136, 62]
+    assert b[0, 0].tolist() == [67, 136, 62]
+    assert a[-1, -1].tolist() == [255, 255, 255]
+    assert abs(int(a[0, 0][0]) - int(b[0, 0][0])) <= 2
