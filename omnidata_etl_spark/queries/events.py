@@ -507,3 +507,74 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "events_ewma_smoothed",
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        ew AS (
+            SELECT user_id, rn, event_id, value AS ewma
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.rn, s.event_id,
+                   0.2 * s.value + 0.8 * e.ewma
+            FROM seq s JOIN ew e
+              ON s.user_id = e.user_id AND s.rn = e.rn + 1
+        )
+        SELECT user_id, event_id, ewma FROM ew
+    """,
+    tags=("events", "timeseries", "stateful"),
+)
+def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha = 0.2) over
+    the event stream — the classic sequential-state time-series smooth
+    Spark's built-in windows cannot express (the recursion s_n = αx_n +
+    (1-α)s_{n-1} has no fixed frame).
+
+    The 100 TB shape for per-entity sequential state: applyInPandas
+    groups on user_id — ONE shuffle, then each key's history replays
+    serially inside its executor while keys run in parallel (the same
+    layout a stateful streaming backfill uses). No driver collection, no
+    global sort; executor memory bounds at the largest single user's
+    history.
+
+    Oracle-EXACT, not tolerance-checked: the UDF runs the recursion in
+    Python floats (IEEE doubles) with the same expression tree DuckDB's
+    WITH RECURSIVE evaluates in DOUBLE — identical op order → identical
+    bits, so the driver's value hash matches with no rounding. The
+    closed-form window rewrite (powers of (1-α)) is REJECTED for the
+    scale path: (1-α)^(-k) overflows past ~4k rows per key, and its
+    float error diverges from the recursion."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        alpha = 0.2
+        s = None
+        out = []
+        for x in pdf["value"]:
+            x = float(x)
+            s = x if s is None else alpha * x + (1 - alpha) * s
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma": out,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        smooth, schema="user_id long, event_id long, ewma double"
+    )

@@ -289,3 +289,29 @@ def test_text_url_extract_planted_domains(spark, sf_dir):
     site_urls = sum(v[0] for d, v in rows.items() if d.startswith("site"))
     assert site_urls == planted
     assert all(d.endswith((".example.com", ".example.org")) for d in rows)
+
+
+def test_events_ewma_is_the_recursion(spark, sf_dir):
+    """EWMA values equal a hand-rolled per-user replay (ordering by
+    (ts, event_id), alpha=0.2), bit-exact — the same recursion the
+    DuckDB oracle runs."""
+    from omnidata_etl_spark.catalog import table as _table
+    from omnidata_etl_spark.registry import all_specs
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in all_specs()["events_ewma_smoothed"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        _table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    state: dict = {}
+    for r in rows:
+        u = r["user_id"]
+        x = float(r["value"])
+        state[u] = x if u not in state else 0.2 * x + 0.8 * state[u]
+        assert got[(u, r["event_id"])] == state[u], (u, r["event_id"])
+    assert len(got) == len(rows)
