@@ -578,3 +578,170 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         smooth, schema="user_id long, event_id long, ewma double"
     )
+
+
+@query(
+    "events_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events GROUP BY 1, 2
+        ),
+        anch AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY d
+                       ) AS INTEGER) * INTERVAL 1 DAY AS anchor
+            FROM days
+        )
+        SELECT user_id,
+               CAST(MIN(d) AS VARCHAR) AS streak_start,
+               CAST(MAX(d) AS VARCHAR) AS streak_end,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM anch GROUP BY user_id, anchor
+    """,
+    tags=("events", "window", "session"),
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity streaks (gaps-and-islands): maximal runs of consecutive
+    active days per user — the classic consecutive-sequence operator
+    (login streaks, SLA uptime windows) that needs the row_number-anchor
+    trick rather than any single window frame.
+
+    Anchor = day − row_number·1day: constant within a consecutive run,
+    jumps at every gap, so a plain groupBy on (user, anchor) recovers the
+    islands. Scale: one user_id shuffle for the distinct-day collapse
+    (count pushed map-side), the per-user window rides the same
+    partitioning, and the final groupBy keys on (user, anchor) — never a
+    global sort, state bounded by one user's distinct days."""
+    ev = table(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    anch = days.withColumn("anchor", F.date_sub(F.col("d"), rn))
+    return anch.groupBy("user_id", "anchor").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).select("user_id", "streak_start", "streak_end", "n_days")
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type AS from_state, nxt AS to_state,
+                   CAST(COUNT(*) AS BIGINT) AS n_trans
+            FROM seq WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_state, to_state, n_trans,
+               CAST(n_trans AS DOUBLE)
+               / SUM(n_trans) OVER (PARTITION BY from_state) AS prob
+        FROM trans
+    """,
+    tags=("events", "stats"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) — the behavioral-model operator behind
+    next-action prediction and funnel-drop diagnosis.
+
+    lead() rides one user_id shuffle; the transition count collapses to
+    |types|² rows so the per-from normalizing window is over a
+    cardinality-bounded frame at any data scale. prob is an integer ÷
+    integer double division — bit-identical on both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_state"),
+            F.lead("event_type").over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    norm = Window.partitionBy("from_state")
+    return trans.select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.sum("n_trans").over(norm)).alias(
+            "prob"
+        ),
+    )
+
+
+@query(
+    "events_rollup_multires",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS b, event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS sv
+            FROM events GROUP BY 1, 2
+        ),
+        daily AS (
+            SELECT date_trunc('day', ts) AS b, event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS sv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT 'hour' AS resolution,
+               strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type, CAST(n_events AS BIGINT) AS n_events,
+               CAST(sv AS DOUBLE) AS sum_value
+        FROM hourly
+        UNION ALL
+        SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), event_type,
+               CAST(n_events AS BIGINT), CAST(sv AS DOUBLE)
+        FROM daily
+    """,
+    tags=("events", "agg", "timeseries"),
+)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading multi-resolution rollup (the hypertable continuous-
+    aggregate shape): hourly partials computed ONCE from the base table,
+    daily derived by re-aggregating the hourly frame — never a second
+    base scan. The oracle computes BOTH resolutions directly from base,
+    so the hash match proves the cascade is lossless (decimal partial
+    sums re-aggregate exactly; a double partial would drift).
+
+    Scale: at 100 TB the hourly layer is what you persist; the daily
+    re-agg runs over |hours|×|types| rows — thousands, not billions. In
+    this one-shot form Catalyst reuses the hourly exchange for both
+    branches of the union."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("b"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec2("value")).alias("sv"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "b").alias("b"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sv").alias("sv"),
+    )
+
+    def shape(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+
+    return shape(hourly, "hour").unionAll(shape(daily, "day"))
