@@ -10,7 +10,7 @@ for sketch-tolerant consumers `agg_approx_distinct` is the 100 TB path
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
@@ -658,4 +658,53 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         (num.cast("double") / den.cast("double") / 100).alias("wavg_price"),
         den.cast("bigint").alias("total_qty"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+        WITH counted AS (
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY n DESC, l_quantity ASC
+                   ) AS rn
+            FROM counted
+        )
+        SELECT l_returnflag, l_linestatus,
+               l_quantity AS modal_qty, n AS n_modal
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("agg", "stats"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with an explicit smallest-value tiebreak. Built as
+    count-then-top1 rather than the engines' native mode() because neither
+    Spark (arbitrary on ties) nor DuckDB (first-seen) defines tie order —
+    the explicit (n DESC, value ASC) rank is the only hash-stable contract.
+
+    Scale: the count collapses map-side to |groups|×|distinct values| rows
+    and the top-1 window runs on that bounded frame (WindowGroupLimit
+    prunes to one row per group before the sort at scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_linestatus", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").alias("modal_qty"),
+            F.col("n").alias("n_modal"),
+        )
     )

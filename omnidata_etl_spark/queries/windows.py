@@ -219,3 +219,32 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(good, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "window_cume_dist_pctrank",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               cume_dist() OVER w AS cdist,
+               percent_rank() OVER w AS prank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_cume_dist_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window pair: cume_dist (rows ≤ current / rows in
+    partition) and percent_rank ((rank−1)/(n−1)) — the normalized-rank
+    operators behind percentile badges and score normalization. Both are
+    single integer÷integer double divisions, bit-identical across engines;
+    the (o_totalprice, o_orderkey) tiebreak makes every rank unique so the
+    hash is order-proof. One shuffle on the partition key."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.cume_dist().over(w).alias("cdist"),
+        F.percent_rank().over(w).alias("prank"),
+    )
