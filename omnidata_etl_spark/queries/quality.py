@@ -660,3 +660,69 @@ def etl_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         _parquet_fingerprint(sf_dir, "documents"),
     )
     return session_df_memo(spark, key, build)
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+        WITH old_snap AS (
+            SELECT o_orderkey, o_totalprice AS price
+            FROM orders WHERE o_orderkey % 97 <> 0
+        ),
+        new_snap AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice
+                   END AS price
+            FROM orders WHERE o_orderkey % 89 <> 0
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               o.price AS old_price, n.price AS new_price
+        FROM old_snap o
+        FULL OUTER JOIN new_snap n USING (o_orderkey)
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+              OR o.price <> n.price
+    """,
+    tags=("etl", "cdc"),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (added / removed / changed) between two table
+    snapshots — the audit operator behind training-data versioning ("what
+    changed between corpus v3 and v4"). Snapshots are derived
+    deterministically from orders (drop keys ≡0 mod 97 from old, mod 89
+    from new, bump price on ≡0 mod 11) so the oracle reconstructs the
+    identical pair.
+
+    One full-outer sort-merge join on the snapshot key, classification
+    and the unchanged-row filter evaluated in the join's own stage — at
+    100 TB both snapshots shuffle once on the same key (or zero times if
+    written bucketed by it), and unchanged rows never leave the
+    executors. The price bump rides double addition of an exact-2dp
+    double — bit-identical on both engines, so '<>' classifies
+    identically."""
+    o = table(spark, sf_dir, "orders")
+    old_snap = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new_snap = o.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    joined = old_snap.join(new_snap, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return joined.where(
+        F.col("old_price").isNull()
+        | F.col("new_price").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    ).select(
+        "o_orderkey", change.alias("change_type"), "old_price", "new_price"
+    )

@@ -1163,3 +1163,50 @@ def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@query(
+    "text_ngram_counts",
+    oracle="""
+        WITH w AS (
+            SELECT string_split(lower(text), ' ') AS ws FROM documents
+        ),
+        b AS (
+            SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+            FROM w, LATERAL (
+                SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+            ) t
+        )
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram ASC
+        LIMIT 20
+    """,
+    tags=("text", "ngram"),
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (top 20, count-then-lexical tiebreak) —
+    the n-gram statistics pass behind language-model vocabulary analysis
+    and contamination screens.
+
+    Bigrams are formed entirely JVM-side: zip_with over two shifted
+    slices of the token array (no UDF, no posexplode self-join — the
+    self-join form shuffles the corpus twice on (doc, position); this
+    form explodes each doc's bigrams in place). The count collapses
+    map-side to |vocab|² rows worst-case and top-20 is
+    TakeOrderedAndProject — no global sort at any scale."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    n_big = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, n_big),
+        F.slice(words, 2, n_big),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
