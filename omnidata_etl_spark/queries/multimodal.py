@@ -6,11 +6,14 @@ extraction / resize / frame-sampling run as Arrow-batched Pandas functions
 over ``mapInPandas`` so the payload bytes never round-trip through Python
 row-at-a-time serde. Decode is REAL for the formats a bare container can
 express — PPM/BMP images (numpy), PNG (stdlib zlib + numpy unfilter),
-GIF incl. multi-frame animations (pure-Python LZW, r7/r8), WAV/PCM16 audio (stdlib ``wave``) — see
-omnidata_etl_spark/codecs.py; JPEG/MP3 genuinely need an external library
-(documented out of scope there) and raise NotImplementedError from the
-same magic-byte dispatch until one exists here. The Spark-side plumbing (schema, batching, partitioning) is
-identical for both (tests/test_multimodal.py, tests/test_codecs.py).
+GIF incl. multi-frame animations (pure-Python LZW, r7/r8), JPEG both
+baseline and progressive (clean-room ITU-T T.81 Huffman+IDCT, r10 — see
+omnidata_etl_spark/codecs_jpeg.py), WAV/PCM16 audio (stdlib ``wave``) — see
+omnidata_etl_spark/codecs.py; WebP/MP3/MP4 genuinely need an external
+library (documented out of scope there) and raise NotImplementedError from
+the same magic-byte dispatch until one exists here. The Spark-side plumbing
+(schema, batching, partitioning) is identical for both
+(tests/test_multimodal.py, tests/test_codecs.py, tests/test_codecs_jpeg.py).
 """
 
 from __future__ import annotations
@@ -794,4 +797,107 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.min("decode_ok").alias("decode_ok_all"),
         F.countDistinct("width", "height").alias("n_shapes"),
+    )
+
+
+def dhash64(img) -> int:
+    """64-bit difference hash (dHash) of an (h, w, 3) uint8 image: sample a
+    9×8 grayscale grid (floor-index grid — pure integer indexing, no
+    interpolation, so the hash is an exact deterministic function of the
+    pixels) and emit one bit per adjacent-column comparison. Returned as a
+    SIGNED 64-bit value so it stores in a Spark ``long``."""
+    import numpy as np
+
+    g = img.astype(np.int64).sum(axis=2)  # 3·gray — monotone in gray
+    h, w = g.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    grid = g[np.ix_(rows, cols)]
+    bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@query("multimodal_image_phash", tags=("multimodal", "codec", "dedup"))
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) image dedup — the multimodal twin of the
+    text MinHash family: byte-level dedup misses the same picture saved
+    in two formats; a perceptual hash over the DECODED pixels catches it.
+
+    Per document the corpus carries its usual 8-format asset; for
+    doc_id < 20 a cross-format twin is planted (same source pixels,
+    re-encoded PPM vs BMP — both lossless, so the decoded pixels and
+    hence the 64-bit dHash are bit-identical). Hashing runs in one
+    mapInPandas pass (decode + dHash per asset, spread() for core
+    parallelism); dedup is then a plain groupBy on the 64-bit hash —
+    the 100 TB shape: 8 bytes shuffle per asset, never pixels, exactly
+    like dedup_hash shuffles digests instead of documents.
+
+    Self-evidence columns: ``planted_match_rate`` must be 1.0 (every
+    cross-format twin landed in its original's hash bucket — decode +
+    hash are format-invariant) and ``n_dup_groups`` counts hash buckets
+    holding ≥2 assets (≥20 by construction). Rows-only: the hash depends
+    on the real codec stack, which no SQL oracle can reproduce."""
+    import numpy as np  # noqa: F401  (dhash64 uses it)
+
+    from omnidata_etl_spark.codecs import encode_bmp
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, variants, hashes = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                img = decode_image(_synth_image_payload(did, text))
+                doc_ids.append(did)
+                variants.append("orig")
+                hashes.append(dhash64(img))
+                if did < 20:
+                    # cross-format twin: identical pixels, different
+                    # container (PPM if the original mix slot was BMP,
+                    # else BMP) — decoded pixels identical for the twin
+                    # because BOTH containers are lossless; the ORIGINAL
+                    # may be lossy (JPEG slots), so the twin re-encodes
+                    # the original's DECODED pixels, not the source grid
+                    payload = (
+                        encode_ppm(img) if did % 8 == 1 else encode_bmp(img)
+                    )
+                    doc_ids.append(did)
+                    variants.append("twin")
+                    hashes.append(dhash64(decode_image(payload)))
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "variant": variants, "phash": hashes}
+            )
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    hashed = docs.mapInPandas(
+        op, schema="doc_id long, variant string, phash long"
+    )
+
+    groups = hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("variant") == "twin", 1).otherwise(0)).alias(
+            "n_twins"
+        ),
+    )
+    summary = groups.agg(
+        F.sum("n").alias("n_assets"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum("n_twins").alias("n_twins"),
+        # a twin "matches" when its bucket also holds its original —
+        # every twin bucket with n >= 2; misses would leave a 1-row
+        # twin-only bucket (n_twins > 0 and n == n_twins == 1)
+        F.sum(
+            F.when((F.col("n_twins") > 0) & (F.col("n") >= 2), F.col("n_twins"))
+            .otherwise(0)
+        ).alias("n_twin_matched"),
+    )
+    return summary.select(
+        "n_assets",
+        "n_dup_groups",
+        (
+            F.col("n_twin_matched").cast("double")
+            / F.col("n_twins").cast("double")
+        ).alias("planted_match_rate"),
     )

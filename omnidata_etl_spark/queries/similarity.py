@@ -1309,3 +1309,55 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").alias("q_min"),
         F.col("mx").alias("q_max"),
     )
+
+
+@query(
+    "ann_range_search",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id >= 5
+        )
+        SELECT query_id, vec_id,
+               list_cosine_similarity(e, qe) AS cosine
+        FROM c, q
+        WHERE list_cosine_similarity(e, qe) >= 0.25
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine ≥ 0.25 of
+    each of 5 query vectors — the retrieval shape behind "find everything
+    similar enough", the complement of fixed-k top-k.
+
+    The query set broadcasts (5 rows) and the corpus streams through one
+    scan — embarrassingly parallel, no shuffle at all; output size is
+    data-dependent, which is exactly why range search (unlike top-k)
+    needs no global ordering stage. At 100 TB with a LARGE query set the
+    broadcast-nested-loop degenerates — that regime switches to the
+    LSH-bucketed band join (dedup_embedding_cosine's plan) where only
+    candidate pairs are scored; the exact form here is the oracle
+    baseline those bucketed plans are recall-checked against. The 0.25
+    threshold comparison rides bit-identical double cosines (unrounded,
+    array-order folds) so the boundary classifies identically in both
+    engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    c = spread(emb.filter(F.col("vec_id") >= 5))
+    cos = dot(F.col("embedding"), F.col("qe")) / (
+        norm(F.col("embedding")) * F.col("qn")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.25)
+    )

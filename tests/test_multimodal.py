@@ -134,3 +134,36 @@ def test_frame_sample_real_gif_animation(spark, sf_dir):
     # non-GIF media keeps the documented byte-slice stub
     stub = sample_frames(b"\x00\x01" * 40)
     assert all(isinstance(s, bytes) for s in stub) and len(stub) >= 1
+
+
+def test_dhash64_format_invariant_and_discriminative():
+    """dHash must be identical across lossless re-encodes of the same
+    pixels (the property the planted cross-format twins rely on) and
+    differ for visibly different images."""
+    import numpy as np
+
+    from omnidata_etl_spark.codecs import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+    from omnidata_etl_spark.queries.multimodal import dhash64
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    h0 = dhash64(img)
+    for enc in (encode_ppm, encode_bmp, encode_png):
+        assert dhash64(decode_image(enc(img))) == h0
+    other = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    assert dhash64(other) != h0
+    # signed-long contract: fits a Spark LongType either sign
+    assert -(1 << 63) <= h0 < (1 << 63)
+
+
+def test_image_phash_planted_twins_all_detected(spark, sf_dir):
+    from omnidata_etl_spark.registry import all_specs
+
+    row = all_specs()["multimodal_image_phash"].fn(spark, sf_dir).collect()[0]
+    assert row.planted_match_rate == 1.0
+    assert row.n_dup_groups >= 20  # one bucket per planted twin, minimum
