@@ -1115,3 +1115,137 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("dup_of"),
         "jaccard",
     ).crossJoin(F.broadcast(_planted_recall(spark, sf_dir, n=5)))
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle="""
+        WITH raw AS (
+            SELECT unnest(CASE WHEN doc_id % 37 = 0 THEN [
+                'https://Site' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.Example.COM/p/' || CAST(doc_id AS VARCHAR)
+                    || '/?utm_source=x&ref=1',
+                'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                    || '?ref=1'
+            ] ELSE [
+                'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+            ] END) AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT url,
+                   split_part(split_part(url, '#', 1), '?', 1) AS base,
+                   split_part(split_part(url, '#', 1), '?', 2) AS qs
+            FROM raw
+        ),
+        canon AS (
+            SELECT url,
+                   lower(split_part(base, '/', 1)) || '//'
+                   || lower(split_part(base, '/', 3))
+                   || rtrim(substr(base,
+                          length(split_part(base, '/', 1)) + 3
+                          + length(split_part(base, '/', 3)) + 1),
+                      '/') AS cbase,
+                   array_to_string(
+                       list_filter(string_split(qs, '&'),
+                                   x -> NOT starts_with(x, 'utm_')),
+                       '&') AS cqs
+            FROM parts
+        )
+        SELECT cbase || CASE WHEN cqs <> '' THEN '?' || cqs ELSE '' END
+                   AS canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_variants,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
+        FROM canon
+        GROUP BY 1
+        HAVING COUNT(*) >= 2
+    """,
+    tags=("dedup", "text", "extraction"),
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the web-corpus curation step that
+    collapses crawl variants of one resource (case-folded scheme/host,
+    utm_* tracking params stripped, fragment dropped, trailing slash
+    trimmed) before fetch-dedup or per-URL caps.
+
+    Every 37th document plants two variants of the same resource
+    (`https://Site{k}.Example.COM/p/{id}/?utm_source=x&ref=1` vs
+    `https://site{k}.example.com/p/{id}?ref=1`); all other docs carry a
+    unique URL. The HAVING ≥2 output is therefore exactly the planted
+    groups, each with n_variants=2 — the oracle recomputes the identical
+    canonicalization, value-checking every string rule.
+
+    Deliberately regex-free: split_part / substr / rtrim(charset) /
+    lambda filter over the query string behave identically in Spark and
+    DuckDB (no Java-vs-RE2 dialect surface). Scale shape: pure per-row
+    narrow ops then one groupBy on the canonical string — canonical URLs
+    shuffle, never documents."""
+    docs = table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    planted = F.array(
+        F.concat(
+            F.lit("https://Site"), k, F.lit(".Example.COM/p/"), i,
+            F.lit("/?utm_source=x&ref=1"),
+        ),
+        F.concat(
+            F.lit("https://site"), k, F.lit(".example.com/p/"), i,
+            F.lit("?ref=1"),
+        ),
+    )
+    single = F.array(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com/d/"), i,
+        )
+    )
+    raw = docs.select(
+        F.explode(
+            F.when(F.col("doc_id") % 37 == 0, planted).otherwise(single)
+        ).alias("url")
+    )
+    no_frag = F.split_part(F.col("url"), F.lit("#"), F.lit(1))
+    base = F.split_part(no_frag, F.lit("?"), F.lit(1))
+    qs = F.split_part(no_frag, F.lit("?"), F.lit(2))
+    scheme = F.split_part(base, F.lit("/"), F.lit(1))
+    host = F.split_part(base, F.lit("/"), F.lit(3))
+    parts = raw.select(
+        "url",
+        base.alias("base"),
+        qs.alias("qs"),
+        scheme.alias("scheme"),
+        host.alias("host"),
+    )
+    path = F.expr(
+        "rtrim('/', substr(base, char_length(scheme) + 3"
+        " + char_length(host) + 1))"
+    )
+    cqs = F.array_join(
+        F.filter(
+            F.split(F.col("qs"), "&"),
+            lambda x: ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    canon = parts.select(
+        "url",
+        F.concat(
+            F.lower("scheme"), F.lit("//"), F.lower("host"), path
+        ).alias("cbase"),
+        cqs.alias("cqs"),
+    )
+    curl = F.concat(
+        F.col("cbase"),
+        F.when(F.col("cqs") != "", F.concat(F.lit("?"), F.col("cqs")))
+        .otherwise(F.lit("")),
+    )
+    return (
+        canon.groupBy(curl.alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+        )
+        .where(F.col("n_variants") >= 2)
+    )
