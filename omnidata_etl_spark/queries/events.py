@@ -745,3 +745,153 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return shape(hourly, "hour").unionAll(shape(daily, "day"))
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+        WITH assigned AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM assigned GROUP BY arm
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+                MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+                MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+                MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1
+            FROM arms
+        )
+        SELECT n0, c0, n1, c1,
+               CAST(c0 AS DOUBLE) / n0 AS rate_control,
+               CAST(c1 AS DOUBLE) / n1 AS rate_treatment,
+               (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)) AS z_stat
+        FROM wide
+    """,
+    tags=("events", "stats"),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experimentation readout (did the
+    treatment arm convert more?). Users hash into arms (user_id % 2
+    stands in for the assignment hash), conversion = a 'purchase'
+    event over 200 (any-purchase saturates this corpus: every user buys,
+    pooled rate 1, se 0), and the z statistic uses the pooled-proportion standard
+    error.
+
+    All heavy work is one user_id-keyed aggregation (conversion flag
+    collapses map-side); the arm rollup is 2 rows and the z arithmetic
+    is a fixed tree of double ops over exact integer counts —
+    bit-identical across engines, no simulation, no UDF. At 100 TB the
+    only shuffle is the per-user collapse, and 'arm' would come from a
+    bucketing-stable hash so re-runs assign identically (as user_id % 2
+    does here)."""
+    ev = table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        p0.alias("rate_control"),
+        p1.alias("rate_treatment"),
+        ((p1 - p0) / se).alias("z_stat"),
+    )
+
+
+@query(
+    "events_concurrency_peak",
+    oracle="""
+        WITH iv AS (
+            SELECT ts AS t0,
+                   ts + CAST(value AS BIGINT) * INTERVAL 1 SECOND AS t1
+            FROM events
+        ),
+        pts AS (
+            SELECT t0 AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT t1 AS t, -1 AS delta FROM iv
+        ),
+        run AS (
+            SELECT CAST(date_trunc('day', t) AS DATE) AS d,
+                   SUM(delta) OVER (
+                       PARTITION BY CAST(date_trunc('day', t) AS DATE)
+                       ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running
+            FROM pts
+        )
+        SELECT CAST(d AS VARCHAR) AS day,
+               CAST(MAX(running) AS BIGINT) AS peak_concurrency
+        FROM run GROUP BY d
+    """,
+    tags=("events", "window", "timeseries"),
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent intervals per day (sweep line): each event opens an
+    interval [ts, ts + value seconds); +1/−1 deltas sorted within the day
+    and a running sum gives instantaneous concurrency; MAX per day is the
+    capacity-planning number (peak simultaneous sessions / connections).
+
+    The tiebreak at equal timestamps orders −1 before +1 (delta ASC), so
+    an interval ending exactly when another starts never double-counts —
+    the same convention in both engines makes the hash exact. Scale: the
+    sweep partitions by DAY, so the sort is per-day and distributes;
+    deltas crossing midnight are intentionally counted in their own day's
+    sweep (per-day peaks treat each day's window independently — stated
+    contract, matching how capacity dashboards bucket). No global
+    ordering at any scale."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("t0"),
+        (
+            F.col("ts")
+            + F.make_interval(secs=F.col("value").cast("bigint"))
+        ).alias("t1"),
+    )
+    pts = iv.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    d = F.date_trunc("day", "t").cast("date")
+    w = (
+        Window.partitionBy(d)
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(d.alias("d"), F.sum("delta").over(w).alias("running"))
+    return run.groupBy("d").agg(
+        F.max("running").cast("long").alias("peak_concurrency")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"), "peak_concurrency")
