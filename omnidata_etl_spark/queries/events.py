@@ -837,7 +837,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH iv AS (
             SELECT ts AS t0,
-                   ts + CAST(value AS BIGINT) * INTERVAL 1 SECOND AS t1
+                   ts + CAST(floor(value) AS BIGINT) * INTERVAL 1 SECOND AS t1
             FROM events
         ),
         pts AS (
@@ -862,7 +862,9 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent intervals per day (sweep line): each event opens an
-    interval [ts, ts + value seconds); +1/−1 deltas sorted within the day
+    interval [ts, ts + floor(value) seconds); the floor is explicit
+    because bare double→bigint casts disagree across engines (Spark
+    truncates, DuckDB rounds half-even — caught by the sf0.1 hash); +1/−1 deltas sorted within the day
     and a running sum gives instantaneous concurrency; MAX per day is the
     capacity-planning number (peak simultaneous sessions / connections).
 
@@ -879,7 +881,7 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("t0"),
         (
             F.col("ts")
-            + F.make_interval(secs=F.col("value").cast("bigint"))
+            + F.make_interval(secs=F.floor("value"))
         ).alias("t1"),
     )
     pts = iv.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
