@@ -1361,3 +1361,129 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.25)
     )
+
+
+@query("embedding_power_iteration", tags=("similarity", "iterative"))
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by distributed power iteration — the
+    iterative-algorithm shape (PageRank, ALS, PCA) where a small model
+    vector bounces between driver and cluster while the DATA never moves.
+
+    Each round is ONE job: every Arrow batch computes its 64-float
+    partial Xᵀ(Xv) with two BLAS GEMVs (the same vectorized-inner-loop
+    rule as the ANN family's _sq_dists — never per-row Python), and the
+    driver reduces n_partitions × 64 floats (bounded collect: KB per
+    round at ANY corpus size — the model is small, the data is big).
+    The scanned frame persists once (session memo) and every round runs
+    on the cache — at 100 TB that cache is the cluster-wide persisted
+    scan and the rounds are the only sequential barrier.
+
+    The raw synthetic embeddings are near-isotropic (λ₂/λ₁ ≈ 0.983
+    measured — power iteration needs ~800 rounds there), so the query
+    plants a known dominant direction: 32 rows of c·u (u a fixed
+    alternating unit vector, c sized from the corpus' own total energy
+    Σ‖x‖² so the spike stays ≥100× the rest of the spectrum at ANY
+    data scale → contraction ≤0.01/round). FIVE rounds then land the
+    residual at ~1e-7, and the round count is the algorithmic minimum
+    for the target — the local wall is jobs × the ~0.2 s local
+    mapInPandas job floor, which is why the rounds are budgeted, not
+    padded (measured: 10 naive jobs over 64 micro-tasks = 8.1 s; 5
+    budgeted jobs over 8 cached partitions ≈ 1.3 s at sf0.1).
+
+    Rows-only with three-legged self-evidence (float partial-sum order
+    makes exact hashes meaningless): ``converged_ok`` pins
+    |cos(v₄, v₅)| > 0.9999, ``residual_ok`` pins the definitional
+    eigenpair check ‖A v − λv‖ ≤ 1e-6·λ on the SAME augmented operator
+    the iteration ran on (the final round's product serves as both the
+    next iterate and the residual witness — no extra pass), and
+    ``planted_recovery_ok`` pins |cos(v, u)| > 0.99 — the iteration
+    must actually FIND the planted direction, so a wrong GEMV, a wrong
+    reduce, or a broken union all fail at least one leg."""
+    import numpy as np
+
+    from omnidata_etl_spark.queries._util import local_df, session_df_memo
+
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+
+    # corpus energy Σ‖x‖² (one cheap agg) sizes the planted spike so it
+    # dominates the spectrum by ≥100× at any corpus size
+    energy = emb.select(
+        F.sum(F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )).alias("e")
+    ).collect()[0].e
+    dim = 64
+    m_planted = 32
+    u = np.array([1.0 if j % 2 == 0 else -1.0 for j in range(dim)])
+    u /= np.linalg.norm(u)
+    c = float(np.sqrt(100.0 * energy / m_planted))
+    planted_rows = [((c * u).tolist(),) for _ in range(m_planted)]
+    planted = local_df(spark, planted_rows, "embedding array<double>")
+
+    def build():
+        df = (
+            emb.select(F.col("embedding").cast("array<double>"))
+            .unionAll(planted)
+            .coalesce(8)
+            .persist()
+        )
+        df._omnidata_row_count = df.count()  # ride the materializing job
+        return df
+
+    data = session_df_memo(
+        spark,
+        ("power_iter_aug", sf_dir, _parquet_fingerprint(sf_dir, "embeddings")),
+        build,
+    )
+    n_vec = getattr(data, "_omnidata_row_count", None) or data.count()
+
+    def gemv_pass(v: "np.ndarray") -> "np.ndarray":
+        def op(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                s = X @ v
+                yield pd.DataFrame({"w": [(X.T @ s).tolist()]})
+
+        parts = data.mapInPandas(op, "w array<double>").collect()
+        return np.sum([np.asarray(r.w) for r in parts], axis=0)
+
+    # e_0 start: overlap with u is u_0 = 1/8 ≠ 0 (the all-ones start is
+    # EXACTLY orthogonal to the alternating u — it would never converge)
+    v = np.zeros(dim)
+    v[0] = 1.0
+    for _ in range(4):
+        w = gemv_pass(v)
+        v = w / float(np.linalg.norm(w))
+    # final round: w = A·v serves as eigen-witness AND next iterate
+    w = gemv_pass(v)
+    lam = float(np.linalg.norm(w))
+    resid = float(np.linalg.norm(w - lam * v)) / lam
+    v_next = w / lam
+    conv = float(abs(np.dot(v, v_next)))
+    recov = float(abs(np.dot(v_next, u)))
+    return local_df(
+        spark,
+        [
+            (
+                int(n_vec),
+                dim,
+                lam,
+                conv,
+                bool(conv > 0.9999),
+                resid,
+                bool(resid <= 1e-6),
+                recov,
+                bool(recov > 0.99),
+            )
+        ],
+        "n_vectors long, dim int, eigenvalue double, converge_cos double, "
+        "converged_ok boolean, residual_ratio double, residual_ok boolean, "
+        "planted_recovery_cos double, planted_recovery_ok boolean",
+    )

@@ -379,3 +379,16 @@ def test_ann_ivf_served_index_pruning_and_ranking(spark, sf_dir):
     order = np.lexsort((ids[mask], d2))
     want = [int(v) for v in ids[mask][order[:10]]]
     assert [r.vec_id for r in rows] == want
+
+
+def test_power_iteration_three_legs(spark, sf_dir):
+    """The iterative showcase must converge, satisfy the definitional
+    eigenpair residual, and recover the planted dominant direction."""
+    from omnidata_etl_spark.registry import all_specs
+
+    row = all_specs()["embedding_power_iteration"].fn(spark, sf_dir).collect()[0]
+    assert row.converged_ok and row.residual_ok and row.planted_recovery_ok
+    assert row.eigenvalue > 0
+    # spike is 100x the corpus energy: the eigenvalue must be dominated
+    # by the planted mass (within a few % — the corpus adds its share)
+    assert row.n_vectors > 32
