@@ -897,3 +897,80 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("d").agg(
         F.max("running").cast("long").alias("peak_concurrency")
     ).select(F.date_format("d", "yyyy-MM-dd").alias("day"), "peak_concurrency")
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT e.user_id, f.cohort_week,
+                   CAST(floor(date_diff('day', f.cohort_week,
+                                        date_trunc('day', e.ts)) / 7)
+                        AS BIGINT) AS week_offset,
+                   CAST(e.value AS DECIMAL(18,2)) AS v
+            FROM events e JOIN firsts f USING (user_id)
+            WHERE e.event_type = 'purchase'
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+               CAST(SUM(v) AS DOUBLE) AS revenue,
+               CAST(SUM(SUM(v)) OVER (
+                   PARTITION BY cohort_week ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cumulative_ltv
+        FROM purchases
+        GROUP BY cohort_week, week_offset
+    """,
+    tags=("events", "agg", "window"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users grouped by first-seen week, purchase
+    revenue accumulated per week-offset — the value twin of
+    events_weekly_retention (which counts users; this sums what they
+    spend, the growth metric LTV/CAC runs on).
+
+    One user_id shuffle finds cohorts, the purchase join rides the same
+    key, and the rollup collapses to |cohorts|×|offsets| rows before the
+    tiny running-sum window (cardinality-bounded at any data scale —
+    same argument as daily_user_growth). Revenue sums ride exact 2dp
+    decimals and the cumulative sum RE-AGGREGATES the decimal partials
+    (cast to double only at the edge) so the cascade is
+    order-independent on both engines."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("day", "ts"), "cohort_week") / 7
+            ).alias("week_offset"),
+            dec2("value").alias("v"),
+        )
+    )
+    cell = purchases.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.sum("v").alias("rev_dec"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_buyers",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("cumulative_ltv"),
+    )

@@ -248,3 +248,38 @@ def window_cume_dist_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.percent_rank().over(w).alias("prank"),
     )
+
+
+@query(
+    "window_rolling_distinct",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(len(list_distinct(list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+               ))) AS INTEGER) AS distinct_types_10
+        FROM events
+    """,
+    tags=("window",),
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct count over the last 10 events per user (behavioral
+    diversity signal). Neither engine supports COUNT(DISTINCT) OVER a
+    frame natively; both express it as collect-within-frame + distinct —
+    Spark size(array_distinct(collect_list)), DuckDB
+    len(list_distinct(list())). The frame bounds the state at 10 elements
+    per row regardless of history length, so unlike a naive set-per-user
+    this stays O(frame) at any scale; one user_id shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "distinct_types_10"
+        ),
+    )
