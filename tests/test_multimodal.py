@@ -167,3 +167,33 @@ def test_image_phash_planted_twins_all_detected(spark, sf_dir):
     row = all_specs()["multimodal_image_phash"].fn(spark, sf_dir).collect()[0]
     assert row.planted_match_rate == 1.0
     assert row.n_dup_groups >= 20  # one bucket per planted twin, minimum
+
+
+def test_audio_landmarks_gain_invariant_and_discriminative():
+    import numpy as np
+
+    from omnidata_etl_spark.queries.multimodal import audio_landmarks
+
+    t = np.arange(256)
+    mel = np.concatenate(
+        [np.sin(2 * np.pi * k * t / 256.0) * 0.8 * 32767 for k in (7, 23, 40)]
+    ).astype(np.int16)
+    lm = audio_landmarks(mel)
+    assert lm == [7 * 256 + 23, 23 * 256 + 40]
+    half = (mel.astype(np.float64) * 0.5).astype(np.int16)
+    assert audio_landmarks(half) == lm  # gain invariance
+    other = np.concatenate(
+        [np.sin(2 * np.pi * k * t / 256.0) * 0.8 * 32767 for k in (9, 23, 40)]
+    ).astype(np.int16)
+    assert audio_landmarks(other) != lm
+    assert audio_landmarks(np.zeros(10, dtype=np.int16)) == []
+
+
+def test_audio_fingerprint_planted_twins_all_detected(spark, sf_dir):
+    from omnidata_etl_spark.registry import all_specs
+
+    row = (
+        all_specs()["multimodal_audio_fingerprint"].fn(spark, sf_dir).collect()[0]
+    )
+    assert row.planted_match_rate == 1.0
+    assert row.n_twins == 20
