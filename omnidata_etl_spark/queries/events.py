@@ -974,3 +974,70 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         F.sum("rev_dec").over(w).cast("double").alias("cumulative_ltv"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id,
+                   epoch(MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+                   - epoch(MIN(CASE WHEN event_type = 'view' THEN ts END))
+                       AS delta_s
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT delta_s FROM spans WHERE delta_s >= 0
+        ),
+        v AS (SELECT list_sort(list(delta_s)) AS a FROM conv)
+        SELECT CAST(len(a) AS BIGINT) AS n_converted,
+               a[CAST(floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)) AS INTEGER) + 1]
+                   * ((floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)) + 1) - CAST(0.5 AS DOUBLE) * (len(a) - 1))
+               + a[CAST(floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)) AS INTEGER) + 2]
+                   * (CAST(0.5 AS DOUBLE) * (len(a) - 1) - floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)))
+                   AS median_s,
+               a[CAST(floor(CAST(0.9 AS DOUBLE) * (len(a) - 1)) AS INTEGER) + 1]
+                   * ((floor(CAST(0.9 AS DOUBLE) * (len(a) - 1)) + 1) - CAST(0.9 AS DOUBLE) * (len(a) - 1))
+               + COALESCE(a[CAST(floor(CAST(0.9 AS DOUBLE) * (len(a) - 1)) AS INTEGER) + 2], 0)
+                   * (CAST(0.9 AS DOUBLE) * (len(a) - 1) - floor(CAST(0.9 AS DOUBLE) * (len(a) - 1)))
+                   AS p90_s
+        FROM v
+    """,
+    tags=("events", "percentile", "funnel"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from first 'view'
+    to first 'purchase' (negative spans — purchase before any view — are
+    non-conversions and drop), then exact median/p90 over the converted
+    population. The funnel-latency readout next to events_funnel_counts'
+    volume readout.
+
+    One user_id shuffle computes both firsts as conditional MINs in a
+    single pass (no self-join of two filtered scans); the percentile
+    uses the repo's two-sided interpolation op tree (agg_percentiles)
+    on epoch-second doubles, bit-identical across engines. Population
+    percentiles over per-user scalars collapse the frame to |users|
+    before the sort — the global sorted-array is the declared exact
+    form, approx_percentile is the stated 100 TB path."""
+    ev = table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("double")
+    spans = ev.groupBy("user_id").agg(
+        (
+            F.min(F.when(F.col("event_type") == "purchase", epoch))
+            - F.min(F.when(F.col("event_type") == "view", epoch))
+        ).alias("delta_s")
+    )
+    conv = spans.where(F.col("delta_s") >= 0)
+    g = conv.agg(F.array_sort(F.collect_list("delta_s")).alias("a"))
+    exprs = []
+    for name, p in (("median_s", 0.5), ("p90_s", 0.9)):
+        pos = F.lit(p) * (F.size("a") - 1)
+        lo = F.floor(pos).cast("int")
+        vlo = F.element_at("a", lo + 1)
+        vhi = F.element_at("a", lo + 2)
+        exprs.append(
+            F.when(lo + 2 > F.size("a"), vlo)
+            .otherwise(vlo * ((lo + 1) - pos) + vhi * (pos - lo))
+            .alias(name)
+        )
+    return g.select(F.size("a").cast("long").alias("n_converted"), *exprs)
