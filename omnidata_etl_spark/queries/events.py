@@ -1049,3 +1049,36 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(name)
         )
     return g.select(F.size("a").cast("long").alias("n_converted"), *exprs)
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+        SELECT isodow(ts) AS dow, hour(ts) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "timeseries"),
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heat-map input: event intensity and mean value per
+    (ISO day-of-week × hour-of-day) cell — the traffic-shape profile
+    behind capacity planning and anomaly baselines.
+
+    Day-of-week numbering is the classic cross-engine trap: Spark's
+    dayofweek() is 1=Sunday, DuckDB's dayofweek() is 0=Sunday; the ISO
+    convention (1=Monday) is expressed as weekday()+1 in Spark and
+    isodow() in DuckDB — pinned by the hash. One map-side-combining
+    aggregation to a ≤168-row frame; averages divide an exact decimal
+    sum by the count in double."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_value"
+        ),
+    )

@@ -121,6 +121,26 @@ PROBE_QUERIES = (
     "grouped_minmax_scale",
     "multimodal_feature_extract",
     "multimodal_image_decode_stats",
+    # r10-continuation additions
+    "events_gaps_islands",
+    "events_markov_transitions",
+    "events_rollup_multires",
+    "events_ab_test",
+    "events_concurrency_peak",
+    "events_cohort_ltv",
+    "events_time_to_convert",
+    "events_ewma_smoothed",
+    "agg_mode_deterministic",
+    "window_cume_dist_pctrank",
+    "window_rolling_distinct",
+    "text_ngram_counts",
+    "etl_snapshot_diff",
+    "ann_range_search",
+    "dedup_url_canonicalize",
+    "join_range_bucketed",
+    "multimodal_image_phash",
+    "multimodal_audio_fingerprint",
+    "embedding_power_iteration",
 )
 KEY_OFFSET = 10_000_000_000
 
