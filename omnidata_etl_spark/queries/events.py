@@ -1082,3 +1082,51 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+@query(
+    "events_cep_pattern",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lag(event_type, 1) OVER w AS p1,
+                   lag(event_type, 2) OVER w AS p2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id AS third_error_event,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS detected_at
+        FROM seq
+        WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
+    """,
+    tags=("events", "window", "cep"),
+)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern detection without a
+    MATCH_RECOGNIZE operator (Spark has none): 'three consecutive errors
+    from one user' — the alerting pattern — as a lag-chain over the
+    per-user ordered stream. Fixed-length patterns compile to lag
+    conjunctions (this shape); variable-length ones compile to the
+    gaps-and-islands machinery (events_gaps_islands). One user_id
+    shuffle, pattern evaluated row-local in the window stage; emits the
+    completing event of each match (overlapping matches emit one row
+    each, the standard CEP 'every match' policy)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return seq.where(
+        (F.col("event_type") == "error")
+        & (F.col("p1") == "error")
+        & (F.col("p2") == "error")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("third_error_event"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("detected_at"),
+    )
