@@ -1045,3 +1045,88 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cross_doc_buckets",
         )
     )
+
+
+
+@functools.lru_cache(maxsize=8192)
+def _synth_scenecut_payload(doc_id: int, text: str) -> bytes:
+    """6-frame animation with a hard scene cut at transition 3 (frames
+    0-2 roll the doc's pixel grid, 3-5 roll its color-inverse). Fixture
+    synthesis (a real corpus reads payloads from storage) — lru_cached
+    per worker like _synth_animation_payload, so reused python workers
+    don't re-pay the 6 LZW encodes; the declared operation (decode +
+    detect) always runs."""
+    import numpy as np
+
+    from omnidata_etl_spark.codecs import encode_gif_animation
+
+    raw = (text or "").encode("utf-8") or bytes([doc_id % 256])
+    need = 12 * 9 * 3
+    reps = -(-need // len(raw))
+    base = np.frombuffer((raw * reps)[:need], dtype=np.uint8).reshape(9, 12, 3)
+    inv = 255 - base
+    frames = [np.roll(base, i, axis=0) for i in range(3)] + [
+        np.roll(inv, i, axis=0) for i in range(3)
+    ]
+    return encode_gif_animation(frames, delay_cs=10)
+
+@query("multimodal_video_scene_cut", tags=("multimodal", "codec", "video"))
+def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over moving-image assets — the video-curation
+    operator (shot segmentation before frame sampling) run on the one
+    moving-image format the zero-dependency stack actually decodes:
+    animated GIF. Each document synthesizes a 6-frame animation with a
+    KNOWN hard cut at transition 3 (frames 0-2 roll the doc's pixel
+    grid — smooth motion; frames 3-5 roll its color-inverse), the real
+    LZW decoder reconstructs every frame, and transitions where the
+    mean |Δpixel| exceeds 1.5× the median transition diff are cuts
+    (adaptive threshold — worst measured cut/roll separation is 2.06×,
+    so 1.5× splits with margin; an all-uniform grid degenerates to
+    median 0 and still flags only the true cut).
+
+    mapInPandas decodes and scores per asset (Arrow batches, spread()
+    for core parallelism — decode CPU is the real work); the summary is
+    one groupBy. Self-evidence: ``cut_detect_rate`` must be 1.0 —
+    exactly ONE cut per asset and exactly at transition 3; a wrong
+    decoder, a wrong diff, or a broken threshold all break it.
+    Rows-only: the detection rides the codec stack no SQL reproduces."""
+    import numpy as np
+
+    from omnidata_etl_spark.codecs import (
+        decode_gif_frames_with_delays,
+        encode_gif_animation,
+    )
+
+    CUT_AT = 3
+    payload = _synth_scenecut_payload
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, n_cuts = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                dec, _ = decode_gif_frames_with_delays(payload(did, text))
+                diffs = np.array(
+                    [
+                        np.abs(
+                            dec[i].astype(int) - dec[i - 1].astype(int)
+                        ).mean()
+                        for i in range(1, len(dec))
+                    ]
+                )
+                cuts = np.nonzero(diffs > 1.5 * np.median(diffs))[0] + 1
+                n_cuts.append(len(cuts))
+                ok.append(len(cuts) == 1 and int(cuts[0]) == CUT_AT)
+            yield pd.DataFrame({"ok": ok, "n_cuts": n_cuts})
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    scored = docs.mapInPandas(op, schema="ok boolean, n_cuts int")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("ok").cast("int")).alias("n_detected"),
+        (
+            F.sum(F.col("ok").cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cut_detect_rate"),
+        F.max("n_cuts").alias("max_cuts_per_asset"),
+    )

@@ -197,3 +197,13 @@ def test_audio_fingerprint_planted_twins_all_detected(spark, sf_dir):
     )
     assert row.planted_match_rate == 1.0
     assert row.n_twins == 20
+
+
+def test_video_scene_cut_all_detected(spark, sf_dir):
+    from omnidata_etl_spark.registry import all_specs
+
+    row = (
+        all_specs()["multimodal_video_scene_cut"].fn(spark, sf_dir).collect()[0]
+    )
+    assert row.cut_detect_rate == 1.0
+    assert row.max_cuts_per_asset == 1
