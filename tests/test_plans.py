@@ -621,3 +621,33 @@ def test_q9_single_fact_exchange_and_unhinted_orders_join(spark, sf_dir):
     assert re.search(r"Keys \[2\]: \[l_orderkey#\d+L?, nation#\d+\]", plan), (
         "pre-aggregation below the orders join went missing"
     )
+
+
+def test_rollup_multires_reuses_hourly_exchange(spark, sf_dir):
+    """The cascading rollup's daily branch must re-aggregate the HOURLY
+    partials, not rescan base: after AQE finalizes, the union's second
+    branch reads a ReusedExchange of the hourly aggregation (one
+    FileScan at runtime)."""
+    df = _SPECS["events_rollup_multires"].fn(spark, sf_dir)
+    df.collect()  # materialize so AQE settles the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_mode_deterministic_windowgrouplimit(spark, sf_dir):
+    """Top-1-per-group must prune below the rank window (Partial+Final
+    WindowGroupLimit) so only one candidate row per group reaches the
+    final sort at scale."""
+    df = _SPECS["agg_mode_deterministic"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_range_bucketed_join_never_cartesian(spark, sf_dir):
+    """The no-equi-key interval join must plan as an equi join on the
+    bucket column (+ residual range predicate), never a cartesian/BNLJ
+    over the corpus."""
+    plan = _plan(spark, sf_dir, "join_range_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
