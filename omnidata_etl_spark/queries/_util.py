@@ -210,4 +210,20 @@ def session_df_memo(spark, key: tuple, build) -> DataFrame:
             del cache[k]
         df = build()
         cache[key] = df
+    else:
+        # A long-lived session may clearCache() between workload passes
+        # (bench.py housekeeping does): the memo then handed back an
+        # EVICTED frame and every consumer silently recomputed the full
+        # build plan per action (caught r10: the audio-fingerprint memo
+        # benched at 2.06 s vs 1.10 s measured — 4 summary subtrees each
+        # re-ran the FFT pass). Eviction shows as a storageLevel with
+        # neither memory nor disk; re-pin and rematerialize once.
+        lvl = df.storageLevel
+        if getattr(df, "_omnidata_checkpointed", False):
+            pass  # localCheckpoint blocks live outside the SQL cache —
+            # clearCache can't evict them and storageLevel is not
+            # meaningful for the check below
+        elif not (lvl.useMemory or lvl.useDisk):
+            df.persist()
+            df.count()
     return df

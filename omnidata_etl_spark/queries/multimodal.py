@@ -986,10 +986,15 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omnidata_etl_spark.queries.similarity import _parquet_fingerprint
 
     def build():
+        # localCheckpoint, not persist: checkpoint blocks live OUTSIDE the
+        # SQL cache manager, so a long-lived session's clearCache()
+        # housekeeping (bench passes) cannot evict them — persist-backed
+        # memos re-ran the whole FFT pass per bench pass (2.06 s benched
+        # vs 1.10 s measured, r10)
         df = docs.mapInPandas(
             op, schema="doc_id long, variant string, landmark long"
-        ).persist()
-        df.count()
+        ).localCheckpoint(eager=True)
+        df._omnidata_checkpointed = True
         return df
 
     # session memo (r9 ADVICE #3 discipline): one persisted landmark frame

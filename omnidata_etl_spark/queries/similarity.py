@@ -1423,13 +1423,17 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = local_df(spark, planted_rows, "embedding array<double>")
 
     def build():
+        # localCheckpoint (eager), not persist: survives a long-lived
+        # session's clearCache() housekeeping between bench passes —
+        # see multimodal_audio_fingerprint's build note
         df = (
             emb.select(F.col("embedding").cast("array<double>"))
             .unionAll(planted)
             .coalesce(8)
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        df._omnidata_row_count = df.count()  # ride the materializing job
+        df._omnidata_checkpointed = True
+        df._omnidata_row_count = df.count()
         return df
 
     data = session_df_memo(
