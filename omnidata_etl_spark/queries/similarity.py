@@ -1154,12 +1154,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the granularity deployed for this corpus. One persisted pair
     # frame (and one inner LSH persist) per (session, sf_dir): repeated
     # builds reuse instead of stacking cache entries (r9 ADVICE #3 class)
-    from omnidata_etl_spark.queries._util import session_df_memo
+    from omnidata_etl_spark.queries._util import memo_pin, session_df_memo
 
     all_pairs = session_df_memo(
         spark,
         ("emb_cosine_pairs", sf_dir, _parquet_fingerprint(sf_dir, "embeddings")),
-        lambda: blocked_cosine_pairs(corpus, 0.95, n_vectors=n_main).persist(),
+        lambda: memo_pin(
+            blocked_cosine_pairs(corpus, 0.95, n_vectors=n_main)
+        ),
     )
     main = all_pairs.filter(
         (F.col("vec_a") < _POFF) & (F.col("vec_b") < _POFF)
