@@ -1270,3 +1270,67 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_variants") >= 2)
     )
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_slice(ws, i * 10 + 1, i * 10 + 10), ' '
+                   ) AS chunk
+            FROM w, LATERAL (
+                SELECT unnest(generate_series(
+                    0, CAST(ceil(len(ws) / 10.0) AS INTEGER) - 1
+                )) AS i
+            ) t
+        )
+        SELECT chunk,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks
+        GROUP BY chunk
+        HAVING COUNT(*) >= 2
+        ORDER BY n_occurrences DESC, chunk ASC
+        LIMIT 20
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: split every document into 10-word chunks
+    and mine chunks repeated across the corpus — the sub-document
+    granularity between whole-doc hashing (misses partial copies) and
+    shingle LSH (near-dup, expensive): repeated chunks ARE the
+    boilerplate/template inventory a curation pipeline strips before
+    training.
+
+    Chunking is pure JVM expressions (sequence → slice → array_join —
+    no UDF, no positional self-join); the count collapses map-side and
+    top-20 is TakeOrderedAndProject. At 100 TB the groupBy would key on
+    xxhash64(chunk) with the text carried as MIN (dedup_hash's
+    shuffle-the-digest argument); at oracle scale the raw chunk string
+    keys directly so the hash check covers the text itself."""
+    from omnidata_etl_spark.queries._util import spread
+
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("chunk"))
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), F.col("chunk").asc())
+        .limit(20)
+    )
