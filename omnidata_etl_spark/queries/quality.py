@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import local_df, rev_units
+from omnidata_etl_spark.queries._util import dec2, local_df, rev_units
 from omnidata_etl_spark.queries.text import _STOPWORDS_SQL
 from omnidata_etl_spark.registry import query
 
@@ -725,4 +725,69 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("old_price") != F.col("new_price"))
     ).select(
         "o_orderkey", change.alias("change_type"), "old_price", "new_price"
+    )
+
+
+@query(
+    "etl_incremental_aggregate",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderstatus,
+                   COUNT(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                   MIN(o_totalprice) AS mn,
+                   MAX(o_totalprice) AS mx
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, CAST(n AS BIGINT) AS n_orders,
+               CAST(s AS DOUBLE) AS total_price, mn AS min_price,
+               mx AS max_price
+        FROM merged
+    """,
+    tags=("etl", "agg", "incremental"),
+)
+def etl_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view update
+    shape: a BASE aggregate state (orders with o_orderkey % 10 != 0,
+    standing in for yesterday's rollup) is merged with a DELTA batch's
+    partial aggregate (the remaining rows) by re-aggregating the two
+    partial-state frames — never rescanning base facts. COUNT/SUM
+    re-aggregate as SUM-of-partials, MIN/MAX as MIN/MAX-of-partials;
+    SUM rides exact decimals so merge order can't drift. The oracle
+    aggregates the WHOLE table directly, so the hash match proves
+    merge(base_state, delta_state) == recompute(all) — the algebraic
+    property incremental pipelines depend on.
+
+    At 100 TB the delta aggregation touches only the new partition and
+    the merge touches |groups| rows; this query is the contract test
+    for that path (etl_cdc_apply covers row-level upserts; this covers
+    aggregate-state maintenance)."""
+    o = table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base_state = partial(o.where(F.col("o_orderkey") % 10 != 0))
+    delta_state = partial(o.where(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base_state.unionByName(delta_state)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("double").alias("total_price"),
+        F.col("mn").alias("min_price"),
+        F.col("mx").alias("max_price"),
     )
