@@ -141,6 +141,11 @@ PROBE_QUERIES = (
     "multimodal_image_phash",
     "multimodal_audio_fingerprint",
     "embedding_power_iteration",
+    "events_seasonality_profile",
+    "events_cep_pattern",
+    "multimodal_video_scene_cut",
+    "dedup_chunk_exact",
+    "etl_incremental_aggregate",
 )
 KEY_OFFSET = 10_000_000_000
 
