@@ -708,3 +708,42 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_modal"),
         )
     )
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle="""
+        SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+               COALESCE(l_linestatus, '(all)') AS l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit grouping-level identification: GROUPING bits
+    distinguish a real NULL group key from a rollup subtotal — the
+    disambiguation every BI layer needs before it can render subtotal
+    rows. Emitted as the composed bigint gid (flag-bit*2 + status-bit)
+    because Spark's grouping_id() and DuckDB's GROUPING_ID() disagree on
+    bit order conventions across dialects; composing from per-column
+    GROUPING() bits is convention-free and hash-exact. Subtotal keys are
+    COALESCEd to a sentinel so the output carries no ambiguous NULLs.
+    One pass, partial-aggregated map-side like agg_rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    g = li.rollup("l_returnflag", "l_linestatus").agg(
+        (
+            F.grouping("l_returnflag").cast("long") * 2
+            + F.grouping("l_linestatus").cast("long")
+        ).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+        "gid",
+        "n",
+    )
