@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from omnidata_etl_spark.catalog import table
-from omnidata_etl_spark.queries._util import cents
+from omnidata_etl_spark.queries._util import cents, dec2
 from omnidata_etl_spark.registry import query
 
 
@@ -282,4 +282,43 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
             "distinct_types_10"
         ),
+    )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderstatus,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus,
+               CAST(s AS DOUBLE) AS status_total,
+               CAST(s AS DOUBLE)
+               / CAST(SUM(s) OVER () AS DOUBLE) AS share_of_total
+        FROM g
+    """,
+    tags=("window", "agg"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (the BI percent-of-whole op): per-status revenue
+    over the grand total via an unpartitioned window over the ALREADY
+    AGGREGATED frame — the one place a global window is legitimate
+    (|statuses| rows, not |orders|; the same bounded-frame argument as
+    daily_user_growth). Both numerator and denominator are exact decimal
+    sums (the grand total re-aggregates the per-group decimals, so the
+    division inputs — and hence the double quotient — are bit-identical
+    across engines)."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.sum(dec2("o_totalprice")).alias("s")
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "o_orderstatus",
+        F.col("s").cast("double").alias("status_total"),
+        (
+            F.col("s").cast("double") / F.sum("s").over(w).cast("double")
+        ).alias("share_of_total"),
     )
