@@ -469,6 +469,7 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
         "queries/projections.py",  # surrogate_key over `region` (5 rows)
         "queries/text.py",       # vocab total over groupBy(tok) output
         "queries/events.py",     # cumulative sum over per-day aggregates
+        "queries/windows.py",    # share-of-total over groupBy(o_orderstatus) (3 rows)
     }, f"new unpartitioned-window site(s): {sites}"
 
     def window_subtrees_reduced(name: str, dim_ok: bool = False) -> None:
@@ -502,6 +503,7 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
     window_subtrees_reduced("surrogate_key", dim_ok=True)
     window_subtrees_reduced("text_perplexity_proxy")
     window_subtrees_reduced("events_daily_user_growth")
+    window_subtrees_reduced("window_share_of_total")
 
 
 def test_q11_no_unpartitioned_window_and_single_fact_pass(spark, sf_dir):
