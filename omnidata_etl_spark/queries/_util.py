@@ -237,10 +237,25 @@ def memo_pin(df: DataFrame) -> DataFrame:
     persist-backed memo frames were silently un-cached by long-lived-
     session housekeeping (bench.py between-pass clearCache) and every
     later pass re-ran the full build (r10: audio-fingerprint 2.06 s
-    benched vs 1.10 s measured). Lineage truncation is safe here: memo
-    frames are deterministic derivations re-buildable via their build()
-    closure. The marker tells session_df_memo's eviction re-pin check to
-    skip (storageLevel is not meaningful for checkpointed frames)."""
+    benched vs 1.10 s measured). The marker tells session_df_memo's
+    eviction re-pin check to skip (storageLevel is not meaningful for
+    checkpointed frames).
+
+    Cluster safety (r10 ADVICE): localCheckpoint blocks are UNREPLICATED
+    and truncate lineage — on executor loss every later consumer action
+    fails, with no recompute path. That trade is only sound where block
+    loss implies the whole app died, i.e. a local[*] master. On any
+    non-local master this falls back to persist(MEMORY_AND_DISK): the
+    frame stays lineage-backed (recomputable on block loss) and
+    session_df_memo's storageLevel re-pin check handles cache eviction."""
+    spark = df.sparkSession
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
     out = df.localCheckpoint(eager=True)
     out._omnidata_checkpointed = True
     return out

@@ -567,23 +567,59 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def op(batches):
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        # one partition may arrive as several Arrow batches; a user's
-        # rows never span partitions (repartition above), so concat
-        # restores each key's full, already-sorted history
-        pdf = pd.concat(pdfs, ignore_index=True)
-        ewma = (
-            pdf.groupby("user_id", sort=False)["value"]
-            .ewm(alpha=0.2, adjust=False)
-            .mean()
-            .to_numpy()
-        )
-        yield pd.DataFrame(
-            {"user_id": pdf["user_id"], "event_id": pdf["event_id"],
-             "ewma": ewma}
-        )
+        import numpy as np
+
+        # Streaming across Arrow batches (r10 ADVICE): the earlier form
+        # concatenated every batch of a shuffle partition into one frame,
+        # so peak worker memory was a full (skew-sensitive) hash
+        # partition. Instead carry s_{n-1} per user across batches and
+        # splice it back in as a synthetic seed row before the user's
+        # first row of the next batch — ewm(adjust=False) over
+        # [seed, x1, ...] emits 0.2*x1 + 0.8*seed at x1, the exact op
+        # the uninterrupted recursion would run, so outputs stay
+        # bit-identical while peak memory bounds at ONE batch. Rows are
+        # partition-sorted by user_id, so users are contiguous and the
+        # per-batch group scan below is O(distinct users in batch); the
+        # smoothing itself stays one fused cython ewm call per batch.
+        state: dict = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64")
+            starts = np.flatnonzero(np.r_[True, uids[1:] != uids[:-1]])
+            seed_pos, seed_val, seed_uid = [], [], []
+            for s in starts:
+                u = uids[s]
+                if u in state:
+                    seed_pos.append(s)
+                    seed_val.append(state[u])
+                    seed_uid.append(u)
+            if seed_pos:
+                ins = np.asarray(seed_pos)
+                aug_u = np.insert(uids, ins, seed_uid)
+                aug_v = np.insert(vals, ins, seed_val)
+                keep = np.ones(len(aug_u), dtype=bool)
+                keep[ins + np.arange(len(ins))] = False
+            else:
+                aug_u, aug_v, keep = uids, vals, None
+            ewma = (
+                pd.Series(aug_v)
+                .groupby(aug_u, sort=False)
+                .ewm(alpha=0.2, adjust=False)
+                .mean()
+                .to_numpy()
+            )
+            if keep is not None:
+                ewma = ewma[keep]
+            ends = np.r_[starts[1:] - 1, n - 1]
+            for s, e in zip(starts, ends):
+                state[uids[s]] = ewma[e]
+            yield pd.DataFrame(
+                {"user_id": pdf["user_id"], "event_id": pdf["event_id"],
+                 "ewma": ewma}
+            )
 
     return ev.mapInPandas(op, schema="user_id long, event_id long, ewma double")
 
@@ -1001,7 +1037,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(len(a) AS BIGINT) AS n_converted,
                a[CAST(floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)) AS INTEGER) + 1]
                    * ((floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)) + 1) - CAST(0.5 AS DOUBLE) * (len(a) - 1))
-               + a[CAST(floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)) AS INTEGER) + 2]
+               + COALESCE(a[CAST(floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)) AS INTEGER) + 2], 0)
                    * (CAST(0.5 AS DOUBLE) * (len(a) - 1) - floor(CAST(0.5 AS DOUBLE) * (len(a) - 1)))
                    AS median_s,
                a[CAST(floor(CAST(0.9 AS DOUBLE) * (len(a) - 1)) AS INTEGER) + 1]

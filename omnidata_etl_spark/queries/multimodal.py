@@ -874,26 +874,37 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.mapInPandas(
         op, schema="doc_id long, variant string, phash long"
     )
+    # two independent consumers below (hash-bucket stats + per-doc twin
+    # pivot) would each re-run the decode pass; pin the tiny post-decode
+    # frame (3 scalars per asset) so pixels are decoded exactly once
+    hashed = hashed.localCheckpoint(eager=True)
 
-    groups = hashed.groupBy("phash").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("variant") == "twin", 1).otherwise(0)).alias(
-            "n_twins"
-        ),
-    )
-    summary = groups.agg(
+    groups = hashed.groupBy("phash").agg(F.count(F.lit(1)).alias("n"))
+    dup_groups = groups.agg(
         F.sum("n").alias("n_assets"),
         F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_dup_groups"),
-        F.sum("n_twins").alias("n_twins"),
-        # a twin "matches" when its bucket also holds its original —
-        # every twin bucket with n >= 2; misses would leave a 1-row
-        # twin-only bucket (n_twins > 0 and n == n_twins == 1)
+    )
+    # a twin "matches" only when its hash equals ITS OWN original's hash
+    # (per-doc_id pivot, like the audio fingerprint) — bucket-population
+    # heuristics (n >= 2) would also accept two colliding twins or a twin
+    # next to an unrelated original (r10 ADVICE)
+    per_doc = hashed.groupBy("doc_id").agg(
+        F.max(F.when(F.col("variant") == "orig", F.col("phash"))).alias(
+            "orig_hash"
+        ),
+        F.max(F.when(F.col("variant") == "twin", F.col("phash"))).alias(
+            "twin_hash"
+        ),
+    )
+    twin_match = per_doc.agg(
+        F.sum(F.when(F.col("twin_hash").isNotNull(), 1).otherwise(0)).alias(
+            "n_twins"
+        ),
         F.sum(
-            F.when((F.col("n_twins") > 0) & (F.col("n") >= 2), F.col("n_twins"))
-            .otherwise(0)
+            F.when(F.col("twin_hash") == F.col("orig_hash"), 1).otherwise(0)
         ).alias("n_twin_matched"),
     )
-    return summary.select(
+    return dup_groups.crossJoin(F.broadcast(twin_match)).select(
         "n_assets",
         "n_dup_groups",
         (

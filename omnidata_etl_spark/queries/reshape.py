@@ -175,17 +175,35 @@ CMS_CONFIDENCE = 0.99
 CMS_SEED = 42
 
 
-@query("agg_heavy_hitters_cms", tags=("agg", "sketch", "text"))
+@query(
+    "agg_heavy_hitters_cms",
+    oracle=r"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM documents
+        )
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n,
+               TRUE AS within_bound
+        FROM toks WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY exact_n DESC, tok ASC
+        LIMIT 10
+    """,
+    tags=("agg", "sketch", "text"),
+)
 def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch, self-evidencing (VERDICT r2 #8
     pattern): the document corpus's token frequencies are folded into ONE
     mergeable CMS (`count_min_sketch` — map-side partial sketches, a
     KB-sized final merge, O(1) memory at any corpus size), then the exact
-    top-10 tokens are looked up in the sketch and each row carries the
-    sketch estimate next to the exact count plus a ``within_bound`` verdict
-    against CMS's one-sided guarantee (estimate ≥ exact, and ≤ exact +
-    eps·N with probability ≥ confidence). Rows-only by necessity — the
-    sketch is engine-specific — but the accuracy proof rides in the frame.
+    top-10 tokens are looked up in the sketch and each row carries a
+    ``within_bound`` verdict against CMS's one-sided guarantee (estimate
+    ≥ exact, and ≤ exact + eps·N with probability ≥ confidence; the fixed
+    seed and additive counter merges make the verdict deterministic under
+    any partitioning). Oracle-checked (r10 verdict #5 promotion): DuckDB
+    recomputes the exact heavy hitters and asserts the bound claim — a
+    Spark-side bound violation would surface as a hash mismatch; the raw
+    engine-specific estimate stays out of the hashed frame.
 
     Scale shape: the exact top-10 here is the self-check harness; at 100 TB
     the candidate set comes from per-partition SpaceSaving-style local
@@ -231,12 +249,11 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 r["tok"],
                 int(r["exact_n"]),
-                est,
                 est >= r["exact_n"] and est <= r["exact_n"] + slack,
             )
         )
     return local_df(
-        spark, rows, "tok string, exact_n long, cms_n long, within_bound boolean"
+        spark, rows, "tok string, exact_n long, within_bound boolean"
     )
 
 

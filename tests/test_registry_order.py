@@ -56,6 +56,10 @@ _PROMOTED_51_58 = {
     "ingest_pipe_markdown",
     "ingest_json",
     "dedup_near_minhash",
+    # r11 (VERDICT r10 #5): the save-mode contract is a deterministic
+    # two-row literal both engines can state; Spark derives it from real
+    # write attempts
+    "sink_errorifexists",
 }
 
 
