@@ -226,7 +226,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated). Baseline
     sequential (SOF0/1) and — r10 — progressive (SOF2: spectral selection
     + successive approximation, DC/AC first and refinement scans,
-    EOBRUN)."""
+    EOBRUN).
+
+    Error contract (r10 verdict #8): corrupt streams — truncation inside
+    a segment, bit-flipped Huffman tables, counts pointing past the data
+    — raise an actionable ``ValueError`` (or ``NotImplementedError`` for
+    the documented unsupported variants), never a bare ``struct.error``/
+    ``IndexError`` from the decoder internals (fuzz-pinned in
+    tests/test_codecs_jpeg.py)."""
+    try:
+        return _decode_jpeg_checked(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"corrupt JPEG stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -286,6 +304,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            if h * w > 1 << 30:
+                # bit-flipped SOF dims would otherwise drive multi-GB
+                # plane allocations; 2^30 px (~3 GB RGB) is far beyond
+                # any real training-corpus asset
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the supported size"
+                )
             frame = {"h": h, "w": w, "comps": comps}
             progressive = m == 0xC2
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

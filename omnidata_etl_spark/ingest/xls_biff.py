@@ -258,7 +258,24 @@ def _records(stream: bytes):
 
 def read_xls_rows(path: str, sheet: int = 0) -> list[list[str | None]]:
     """First-sheet rows of a BIFF8 ``.xls`` workbook as lists of cell
-    strings (None for blanks) — the read_xlsx_rows contract."""
+    strings (None for blanks) — the read_xlsx_rows contract.
+
+    Error contract (r10 verdict #8): malformed real-world files — bytes
+    truncated mid-record, bit flips in sector chains, SST counts pointing
+    past the data — surface as actionable ``ValueError``s naming the file
+    as corrupt, never as bare ``struct.error``/``IndexError`` leaking the
+    parser's internals (fuzz-pinned in tests/test_xls.py)."""
+    try:
+        return _read_xls_rows_checked(path, sheet)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"corrupt .xls workbook ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _read_xls_rows_checked(path: str, sheet: int = 0):
     with open(path, "rb") as f:
         data = f.read()
     stream = _cfb_stream(data, ("Workbook", "Book"))

@@ -747,3 +747,145 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid",
         "n",
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+        WITH pre AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus, price
+        ),
+        c AS (
+            SELECT l_returnflag, l_linestatus, price,
+                   SUM(w) OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw,
+                   SUM(w) OVER (
+                       PARTITION BY l_returnflag, l_linestatus
+                   ) AS tw
+            FROM pre
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(MIN(price) AS DOUBLE) AS weighted_median_price
+        FROM c WHERE cw * 2 >= tw
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "percentile", "window"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the smallest price whose cumulative quantity
+    weight reaches half the group total — the robust "typical price paid"
+    statistic a plain median (per-row) or mean (skew-sensitive) misreads.
+
+    Scale shape: rows pre-aggregate to DISTINCT (group, price) with summed
+    weights BEFORE the cumulative window (map-side combine; the window
+    then rides a value-domain-bounded frame, not the fact table), and the
+    threshold test is integer-exact decimal arithmetic (cw*2 >= tw — no
+    division, no float boundary). Only the selected medians cast to
+    double. The low-cardinality group key means few large window
+    partitions; at 100 TB the declared exact form still holds because the
+    frame is |distinct prices| per group (bounded by the price domain),
+    not |lineitem|."""
+    grp = ["l_returnflag", "l_linestatus"]
+    li = table(spark, sf_dir, "lineitem").select(
+        *grp,
+        dec2("l_extendedprice").alias("price"),
+        dec2("l_quantity").alias("q"),
+    )
+    pre = li.groupBy(*grp, "price").agg(F.sum("q").alias("w"))
+    cum = F.sum("w").over(
+        Window.partitionBy(*grp)
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum("w").over(Window.partitionBy(*grp))
+    return (
+        pre.select(*grp, "price", cum.alias("cw"), tot.alias("tw"))
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy(*grp)
+        .agg(F.min("price").cast("double").alias("weighted_median_price"))
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS xc
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT xc,
+                   row_number() OVER (ORDER BY xc, o_custkey) AS rn
+            FROM rev
+        ),
+        a AS (
+            SELECT COUNT(*) AS n, SUM(xc) AS s, SUM(rn * xc) AS s1 FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(CAST(s AS DOUBLE) / 100 AS DOUBLE) AS total_revenue,
+               CAST(2 * s1 - (n + 1) * s AS DOUBLE)
+                   / CAST(n * s AS DOUBLE) AS gini
+        FROM a
+    """,
+    tags=("agg", "rank", "scale"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the standard
+    inequality readout over the per-customer revenue distribution
+    (G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x sorted ascending).
+
+    The interesting part at 100 TB is the EXACT global rank: a naive
+    `row_number() OVER (ORDER BY x)` funnels every customer through one
+    WindowExec partition. This rides :func:`add_surrogate_key`'s
+    two-phase distributed rank instead (range-partition on (x, custkey),
+    parallel local sorts, per-partition offsets broadcast — same total
+    order, no funnel). All sums run in integer cents (revenue decimals
+    ×100; rank·cents products summed exactly in decimal/HUGEINT), so the
+    final double quotient is bit-identical across engines. Revenue ties
+    across range boundaries don't perturb G: equal x contribute x·Σranks
+    regardless of which tied row gets which rank.
+
+    add_surrogate_key persists its ranged frame (two-consumer build), so
+    the ranked frame rides session_df_memo — one shared frame per
+    (sf_dir, fingerprint), not one persisted leak per build (the
+    etl_global_shuffle discipline)."""
+    from omnidata_etl_spark.ingest.load import add_surrogate_key
+    from omnidata_etl_spark.queries._util import session_df_memo
+    from omnidata_etl_spark.queries.similarity import _parquet_fingerprint
+
+    def build():
+        o = table(spark, sf_dir, "orders")
+        rev = o.groupBy("o_custkey").agg(
+            (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("xc")
+        )
+        return add_surrogate_key(
+            rev, order_by=["xc", "o_custkey"], as_long=True
+        )
+
+    ranked = session_df_memo(
+        spark,
+        ("gini_rank", sf_dir, _parquet_fingerprint(sf_dir, "orders")),
+        build,
+    )
+    a = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("id") * F.col("xc")).cast("decimal(38,0)")).alias("s1"),
+    )
+    n, s, s1 = F.col("n"), F.col("s"), F.col("s1")
+    return a.select(
+        n.alias("n_customers"),
+        (s.cast("double") / 100).cast("double").alias("total_revenue"),
+        (
+            (2 * s1 - (n + 1) * s).cast("double") / (n * s).cast("double")
+        ).alias("gini"),
+    )

@@ -1166,3 +1166,115 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("third_error_event"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("detected_at"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:5], '>'
+                   ) AS path
+            FROM events GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM seq GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 20
+    """,
+    tags=("events", "sequence", "path"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first five event types in time
+    order joined into a path string, counted across users — the
+    product-analytics "common paths" readout (the aggregation half of
+    what events_markov_transitions models pairwise).
+
+    One user_id shuffle: collect_list gathers each user's (ts, event_id,
+    event_type) triples, array_sort orders them by the total (ts,
+    event_id) key — deterministic regardless of arrival order, which is
+    what makes the path string hash-stable — and the per-user path
+    reduces to ≤5 joined tokens before the second (tiny) path-count
+    aggregate. Per-user state is bounded by that user's event count,
+    the same guarantee stream_sessionize rides at 100 TB."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    path = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(F.col("seq"), lambda s: s["event_type"]), 1, 5
+        ),
+    )
+    return (
+        seq.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "events_gap_histogram",
+    oracle="""
+        WITH g AS (
+            SELECT epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_s
+            FROM events
+        ),
+        b AS (
+            SELECT CASE
+                       WHEN gap_s < 10 THEN 'a_lt_10s'
+                       WHEN gap_s < 60 THEN 'b_lt_1m'
+                       WHEN gap_s < 600 THEN 'c_lt_10m'
+                       WHEN gap_s < 3600 THEN 'd_lt_1h'
+                       WHEN gap_s < 86400 THEN 'e_lt_1d'
+                       ELSE 'f_ge_1d'
+                   END AS bucket,
+                   gap_s
+            FROM g WHERE gap_s IS NOT NULL
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM b GROUP BY bucket
+    """,
+    tags=("events", "timeseries", "profile"),
+)
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram per user stream, bucketed on fixed
+    semantic edges (10s/1m/10m/1h/1d) — the cadence profile that picks
+    sessionization timeouts and watermark widths (stream_sessionize's
+    30-minute gap and the watermark in stream_dedup_watermark are
+    exactly the parameters this readout justifies).
+
+    A per-user LAG window (partitioned — parallel, no funnel) over
+    epoch seconds, then a groupBy on a 6-value bucket key with map-side
+    combine. Bucket edges are integer comparisons (no log-scale float
+    boundaries), so every column is integer-exact and hash-checked."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    g = ev.select((epoch - F.lag(epoch).over(w)).alias("gap_s")).where(
+        F.col("gap_s").isNotNull()
+    )
+    bucket = (
+        F.when(F.col("gap_s") < 10, "a_lt_10s")
+        .when(F.col("gap_s") < 60, "b_lt_1m")
+        .when(F.col("gap_s") < 600, "c_lt_10m")
+        .when(F.col("gap_s") < 3600, "d_lt_1h")
+        .when(F.col("gap_s") < 86400, "e_lt_1d")
+        .otherwise("f_ge_1d")
+    )
+    return g.select(bucket.alias("bucket"), "gap_s").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

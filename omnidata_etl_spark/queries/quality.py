@@ -893,3 +893,177 @@ def etl_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").alias("min_price"),
         F.col("mx").alias("max_price"),
     )
+
+
+@query(
+    "etl_length_bucket_batching",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(least(CAST(floor(
+                       len(string_split(text, ' ')) / 64.0) AS BIGINT), 8)
+                   AS INTEGER) AS bucket,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS bucket_max,
+               CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+                   AS padding_waste
+        FROM d GROUP BY bucket
+    """,
+    tags=("quality", "ml", "packing"),
+)
+def etl_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching accounting — the padding-waste planner
+    for fixed-shape training batches: group documents into 64-token
+    length buckets (capped at bucket 8 for the long tail) and report, per
+    bucket, how many pad tokens naive pad-to-bucket-max batching would
+    burn. The complement of etl_pack_sequences: packing eliminates
+    padding by construction; this measures what bucketing alone leaves.
+
+    One scan, one groupBy on a 9-value key (map-side combine; the shuffle
+    carries 9 partial rows per task at any corpus size). All columns are
+    integer-exact — bucket math is floor(n/64) on token counts — so the
+    whole frame hash-checks."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    d = docs.select(
+        F.least(F.floor(n_tok / 64.0).cast("bigint"), F.lit(8))
+        .cast("int")
+        .alias("bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("bucket_max"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias(
+            "padding_waste"
+        ),
+    )
+
+
+@query(
+    "etl_curriculum_stages",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM scored
+        )
+        SELECT CAST((rn - 1) * 4 // n AS INTEGER) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM ranked GROUP BY stage
+    """,
+    tags=("quality", "ml", "rank", "scale"),
+)
+def etl_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: order the corpus by a
+    difficulty proxy (token count, doc_id tiebreak) and split it into 4
+    equal-population stages — short/easy documents first, long documents
+    last, the standard curriculum schedule for LM pretraining.
+
+    Stage boundaries need the EXACT global rank (quantile-free: stage =
+    (rank-1)·4 div n, integer arithmetic both engines share bit-for-bit).
+    Like agg_gini_concentration this uses add_surrogate_key's two-phase
+    distributed rank (range-partition → local sorts → broadcast offsets)
+    instead of the single-partition `row_number() OVER (ORDER BY ...)`
+    funnel — the oracle runs the funnel form because DuckDB is
+    single-node anyway; the ranks are identical because the order is
+    total. The memoized ranked frame follows the etl_global_shuffle
+    persist-leak discipline."""
+    from omnidata_etl_spark.ingest.load import add_surrogate_key
+    from omnidata_etl_spark.queries._util import session_df_memo
+    from omnidata_etl_spark.queries.similarity import _parquet_fingerprint
+
+    def build():
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+        )
+        return add_surrogate_key(
+            docs, order_by=["n_tokens", "doc_id"], as_long=True
+        )
+
+    ranked = session_df_memo(
+        spark,
+        ("curriculum_rank", sf_dir, _parquet_fingerprint(sf_dir, "documents")),
+        build,
+    )
+    n_total = ranked.agg(F.count(F.lit(1)).alias("n"))
+    staged = ranked.crossJoin(F.broadcast(n_total)).select(
+        F.expr("CAST((id - 1) * 4 DIV n AS INT)").alias("stage"),
+        "n_tokens",
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@query(
+    "etl_join_skew_report",
+    oracle="""
+        WITH c AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_partkey
+        ),
+        t AS (
+            SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM c
+        )
+        SELECT c.l_partkey, c.n_rows,
+               CAST(c.n_rows AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   AS share_of_total,
+               CAST(c.n_rows * t.n_keys AS DOUBLE)
+                   / CAST(t.total AS DOUBLE) AS ratio_to_mean
+        FROM c, t
+        ORDER BY c.n_rows DESC, c.l_partkey
+        LIMIT 10
+    """,
+    tags=("quality", "profile", "scale", "join"),
+)
+def etl_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the pre-flight diagnostic that decides
+    whether a fact-fact join needs salting or AQE skew splitting: the 10
+    heaviest l_partkey values with each key's share of the table and its
+    ratio to the mean key load (ratio_to_mean ≫ 1 ⇒ that key's shuffle
+    partition is the straggler).
+
+    One groupBy(key) count (map-side combine), a 1-row totals aggregate
+    broadcast back over the counts, and a top-10 TakeOrderedAndProject —
+    nothing materializes beyond |distinct keys|. The ratios are integer
+    counts divided as doubles, so bit-identical across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    t = c.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "l_partkey",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("total").cast("double"))
+            .alias("share_of_total"),
+            (
+                (F.col("n_rows") * F.col("n_keys")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("ratio_to_mean"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("l_partkey"))
+        .limit(10)
+    )

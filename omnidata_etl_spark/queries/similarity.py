@@ -1493,3 +1493,47 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "converged_ok boolean, residual_ratio double, residual_ok boolean, "
         "planted_recovery_cos double, planted_recovery_ok boolean",
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+        WITH flat AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings
+        )
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(x) AS DOUBLE) AS min_x,
+               CAST(MAX(x) AS DOUBLE) AS max_x,
+               CAST(SUM(CASE WHEN abs(x) > CAST(0.3 AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM flat GROUP BY dim
+    """,
+    tags=("similarity", "embedding", "profile"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile — the pre-index sanity pass a
+    vector corpus needs before ANN builds or quantization: a dimension
+    whose range collapsed (dead dim), blew out (tail-mass outliers), or
+    lost rows (ragged vectors) poisons IVF centroids and int8 scaling.
+
+    One posexplode→groupBy(dim) pass: map-side partial aggregation means
+    the shuffle carries |dims| partial rows per task, never the exploded
+    corpus — the same property that makes text_word_counts viable at
+    100 TB. min/max/count on raw float32 values are exact in both engines
+    (float→double widening is value-preserving; no arithmetic), so this
+    is fully hash-checked, unlike mean/variance profiles whose float
+    accumulation order diverges."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    return flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").cast("double").alias("min_x"),
+        F.max("x").cast("double").alias("max_x"),
+        F.sum(
+            (F.abs(F.col("x").cast("double")) > F.lit(0.3)).cast("bigint")
+        ).alias("n_outliers"),
+    )

@@ -270,8 +270,18 @@ def plan_shape(spark, df) -> str:
     return "+".join(ops)
 
 
+CLEAR_CACHE = False
+
+
 def run(spark, sf_dir: str, name: str) -> float:
     fn = all_specs()[name].fn
+    if CLEAR_CACHE:
+        # bench.py housekeeping regime (r10 verdict #6): evict the SQL
+        # cache before the query so the memo_pin machinery (which lives
+        # OUTSIDE the cache manager) is what carries shared frames — a
+        # memo accidentally downgraded to plain persist would re-run its
+        # full build here and show up as a super-linear wall
+        spark.catalog.clearCache()
     fn(spark, sf_dir).count()  # warm (plan + listing)
     t0 = time.perf_counter()
     fn(spark, sf_dir).count()  # count(): measure compute, not transfer
@@ -286,6 +296,9 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a == "--clearcache":
+            global CLEAR_CACHE
+            CLEAR_CACHE = True
     probe = [q for q in PROBE_QUERIES if only is None or q in only]
     spark = get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -336,3 +336,71 @@ def test_progressive_real_libjpeg_fixtures():
     assert b[0, 0].tolist() == [67, 136, 62]
     assert a[-1, -1].tolist() == [255, 255, 255]
     assert abs(int(a[0, 0][0]) - int(b[0, 0][0])) <= 2
+
+
+# ---- fuzz: the actionable-error contract on corrupt streams (r10 #8) ----
+
+_OK_ERRORS = (ValueError, NotImplementedError)
+
+
+def _fuzz_decode(payload: bytes):
+    try:
+        img = decode_jpeg(payload)
+    except _OK_ERRORS:
+        return "raised"
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    return "decoded"
+
+
+def test_fuzz_truncated_jpeg_is_actionable():
+    for fixture in (PYTHON_LOGO, GRAY_2X2):
+        outcomes = set()
+        for cut in range(2, len(fixture), 13):
+            outcomes.add(_fuzz_decode(fixture[:cut]))
+        assert "raised" in outcomes
+
+
+def test_fuzz_bitflipped_jpeg_is_actionable():
+    import random
+
+    rng = random.Random(0x17E6)
+    data = bytearray(PYTHON_LOGO)
+    for trial in range(400):
+        i = rng.randrange(2, len(data))  # keep SOI so the parser engages
+        bit = 1 << rng.randrange(8)
+        data[i] ^= bit
+        _fuzz_decode(bytes(data))
+        data[i] ^= bit
+
+
+def test_fuzz_bitflipped_progressive_is_actionable():
+    import random
+
+    from omnidata_etl_spark.codecs_jpeg import encode_jpeg
+
+    img = (np.indices((24, 24)).sum(axis=0) % 256).astype(np.uint8)
+    rgb = np.stack([img, img.T, 255 - img], axis=2)
+    payload = bytearray(encode_jpeg(rgb, progressive=True))
+    rng = random.Random(0xBADC0DE)
+    for trial in range(300):
+        i = rng.randrange(2, len(payload))
+        bit = 1 << rng.randrange(8)
+        payload[i] ^= bit
+        _fuzz_decode(bytes(payload))
+        payload[i] ^= bit
+
+
+def test_fuzz_random_bytes_rejected():
+    import random
+
+    rng = random.Random(7)
+    for n in (0, 1, 2, 64, 1024):
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            decode_jpeg(blob)
+            # a random blob that still decoded must have been a real JPEG
+            raise AssertionError("random bytes decoded")
+        except _OK_ERRORS:
+            pass
+        # with a forced SOI prefix the decoder must still stay actionable
+        _fuzz_decode(b"\xff\xd8" + blob)

@@ -210,3 +210,61 @@ def test_registry_ingest_xls_matches_fixture(spark, sf_dir):
     df = ingest_xls(spark, sf_dir)
     assert df.columns == list(PEOPLE_HEADERS)
     assert [tuple(r) for r in df.collect()] == [tuple(r) for r in _ROWS]
+
+
+# ---- fuzz: the actionable-error contract on malformed files (r10 #8) ----
+
+_OK_ERRORS = (ValueError, NotImplementedError)
+
+
+def _fuzz_read(path: str):
+    """Parse must either succeed (mutation hit slack bytes) or raise the
+    contract's actionable error types — never struct.error/IndexError/
+    KeyError leaking parser internals."""
+    try:
+        rows = read_xls_rows(path)
+    except _OK_ERRORS:
+        return "raised"
+    assert isinstance(rows, list)
+    return "parsed"
+
+
+def test_fuzz_truncated_xls_is_actionable(tmp_path):
+    src = _tmp_xls(headers=list(PEOPLE_HEADERS), rows=list(_ROWS))
+    data = open(src, "rb").read()
+    outcomes = set()
+    for cut in range(1, len(data), 97):
+        p = tmp_path / "t.xls"
+        p.write_bytes(data[:cut])
+        outcomes.add(_fuzz_read(str(p)))
+    assert "raised" in outcomes  # truncations do get detected
+
+
+def test_fuzz_bitflipped_xls_is_actionable(tmp_path):
+    import random
+
+    src = _tmp_xls(headers=list(PEOPLE_HEADERS), rows=list(_ROWS))
+    data = bytearray(open(src, "rb").read())
+    rng = random.Random(0xB1FF)
+    for trial in range(300):
+        i = rng.randrange(len(data))
+        bit = 1 << rng.randrange(8)
+        data[i] ^= bit
+        p = tmp_path / "t.xls"
+        p.write_bytes(bytes(data))
+        _fuzz_read(str(p))
+        data[i] ^= bit  # restore
+
+
+def test_fuzz_random_bytes_rejected_as_not_ole(tmp_path):
+    import random
+
+    rng = random.Random(1)
+    for n in (0, 1, 7, 8, 512, 4096):
+        p = tmp_path / "g.xls"
+        p.write_bytes(bytes(rng.randrange(256) for _ in range(n)))
+        try:
+            read_xls_rows(str(p))
+            raise AssertionError("random bytes parsed as a workbook")
+        except _OK_ERRORS:
+            pass
