@@ -1222,11 +1222,19 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_gap_histogram",
     oracle="""
-        WITH g AS (
-            SELECT epoch(ts) - lag(epoch(ts)) OVER (
+        WITH e AS (
+            -- integer epoch seconds (floor), matching Spark's
+            -- timestamp->long cast; fractional epochs would move
+            -- boundary gaps across buckets
+            SELECT user_id, ts, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events
+        ),
+        g AS (
+            SELECT es - lag(es) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS gap_s
-            FROM events
+            FROM e
         ),
         b AS (
             SELECT CASE

@@ -376,11 +376,11 @@ def test_fuzz_bitflipped_jpeg_is_actionable():
 def test_fuzz_bitflipped_progressive_is_actionable():
     import random
 
-    from omnidata_etl_spark.codecs_jpeg import encode_jpeg
+    from omnidata_etl_spark.codecs_jpeg import encode_jpeg_progressive
 
     img = (np.indices((24, 24)).sum(axis=0) % 256).astype(np.uint8)
     rgb = np.stack([img, img.T, 255 - img], axis=2)
-    payload = bytearray(encode_jpeg(rgb, progressive=True))
+    payload = bytearray(encode_jpeg_progressive(rgb))
     rng = random.Random(0xBADC0DE)
     for trial in range(300):
         i = rng.randrange(2, len(payload))

@@ -405,3 +405,62 @@ def test_time_to_convert_oracle_degenerate_n1(tmp_path, spark):
     )
     orc = con.execute(spec.oracle).fetchone()
     assert orc == (1, 100.0, 100.0), orc
+
+
+def test_gini_bounds_and_rank_path(spark, sf_dir):
+    """Gini must land in (0,1) on the skewed revenue distribution, and the
+    distributed-rank identity must hold: sum of ranks == n(n+1)/2 (a rank
+    collision or gap from the two-phase offsets would break it)."""
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.ingest.load import add_surrogate_key
+    from omnidata_etl_spark.queries._util import dec2
+
+    r = all_specs()["agg_gini_concentration"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 < r["gini"] < 1.0
+    assert r["n_customers"] > 0 and r["total_revenue"] > 0
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("xc")
+    )
+    ranked = add_surrogate_key(rev, order_by=["xc", "o_custkey"], as_long=True)
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    ).collect()[0]
+    assert agg["s"] == agg["n"] * (agg["n"] + 1) // 2
+
+
+def test_curriculum_stages_balanced_and_ordered(spark, sf_dir):
+    """Four stages, populations within 1 of n/4, and difficulty strictly
+    non-decreasing across stage boundaries (max_tokens[k] <= min_tokens[k+1]
+    can tie on equal lengths, so compare min<=min and max<=max)."""
+    rows = sorted(
+        all_specs()["etl_curriculum_stages"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == [0, 1, 2, 3]
+    n = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        assert abs(r["n_docs"] - n / 4) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_tokens"] <= b["min_tokens"]
+        assert a["max_tokens"] <= b["max_tokens"]
+
+
+def test_join_skew_report_consistent(spark, sf_dir):
+    """Top-10 shares/ratios must agree with independently computed counts."""
+    from pyspark.sql import functions as F
+
+    rows = all_specs()["etl_join_skew_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    li = table(spark, sf_dir, "lineitem")
+    total = li.count()
+    heaviest = (
+        li.groupBy("l_partkey").count()
+        .orderBy(F.desc("count"), F.asc("l_partkey")).limit(1).collect()[0]
+    )
+    assert rows[0]["l_partkey"] == heaviest["l_partkey"]
+    assert rows[0]["n_rows"] == heaviest["count"]
+    assert abs(rows[0]["share_of_total"] - heaviest["count"] / total) < 1e-12
+    assert rows[0]["ratio_to_mean"] >= 1.0
