@@ -1286,3 +1286,136 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+@query(
+    "agg_entropy_by_group",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_i
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT d, SUM(n_i) AS n FROM c GROUP BY d
+        )
+        SELECT CAST(c.d AS VARCHAR) AS day,
+               CAST(t.n AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(
+                   -(CAST(c.n_i AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * ln(CAST(c.n_i AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats
+        FROM c JOIN t USING (d)
+        GROUP BY c.d, t.n
+    """,
+    tags=("events", "agg", "profile"),
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Shannon entropy of the event-type mix — the drift monitor
+    for event pipelines (a day whose entropy collapses is one where a
+    single event type flooded the stream; a spike means a new type
+    appeared). H = −Σ pᵢ·ln pᵢ in nats over each day's type distribution.
+
+    Two tiny aggregations (day×type counts with map-side combine, then
+    day totals joined back — |days|·|types| rows, constant at any event
+    volume). Cross-engine exactness uses the perplexity-family trick:
+    pᵢ is an integer-ratio double (bit-identical), each −pᵢ·ln pᵢ term
+    is rounded to 9dp and summed as DECIMAL — associative, so partial
+    aggregation order can't perturb the hash."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_i"))
+    t = c.groupBy("d").agg(F.sum("n_i").alias("n"))
+    p = F.col("n_i").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        c.join(t, "d")
+        .groupBy("d", "n")
+        .agg(F.sum(term).cast("double").alias("entropy_nats"))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("n").alias("n_events"),
+            "entropy_nats",
+        )
+    )
+
+
+@query(
+    "events_user_overlap_jaccard",
+    oracle="""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ),
+        sizes AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut GROUP BY event_type
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+               i.n_both,
+               CAST(i.n_both AS DOUBLE)
+                   / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    tags=("events", "similarity", "join"),
+)
+def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between event types'
+    user sets (do the users who purchase overlap the users who click?) —
+    the segmentation readout behind "people who did A also did B".
+
+    Scale shape: the corpus collapses to DISTINCT (user, type) pairs
+    first (one shuffle, ≤|types| rows per user), the self-join fans out
+    at most |types|² per user (types are a bounded vocabulary), and the
+    bounded sizes frame broadcasts onto the pair counts. The Jaccard is
+    an integer-ratio double — bit-identical across engines."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -1067,3 +1067,59 @@ def etl_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("l_partkey"))
         .limit(10)
     )
+
+
+@query(
+    "etl_dataset_card_stats",
+    oracle="""
+        WITH d AS (
+            SELECT source, lang, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT)
+                   AS n_exact_dups,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS en_share
+        FROM d
+    """,
+    tags=("quality", "ml", "profile"),
+)
+def etl_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary row — the numbers a model card / dataset
+    datasheet states about a training corpus: size, source and language
+    breadth, token volume and range, exact-duplicate mass, and dominant-
+    language share. The one-pass companion to the full pipeline ops
+    (profile_table for relational loads; this is the corpus flavor).
+
+    One scan, one combined aggregate: COUNT(DISTINCT) columns expand to
+    Spark's standard expand-then-aggregate plan (three distinct columns
+    → one multi-way distinct aggregate), everything else is partial-agg
+    partials. All counts integer-exact; en_share is an integer-ratio
+    double."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("en_share"),
+    )

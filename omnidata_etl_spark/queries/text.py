@@ -1230,3 +1230,100 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+        WITH freq AS (
+            SELECT tok, CAST(SUM(c) AS BIGINT) AS n FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS tok,
+                       1 AS c
+                FROM documents
+            ) WHERE tok <> '' GROUP BY tok
+        ),
+        ranked AS (
+            SELECT CAST(round(ln(row_number() OVER
+                                  (ORDER BY n DESC, tok)), 9)
+                        AS DECIMAL(18,9)) AS x,
+                   CAST(round(ln(CAST(n AS DOUBLE)), 9)
+                        AS DECIMAL(18,9)) AS y
+            FROM freq
+            ORDER BY n DESC, tok
+            LIMIT 1000
+        ),
+        s AS (
+            -- tight re-casts keep every product/sum INSIDE 38-digit
+            -- decimals (exact, no engine-specific overflow rounding):
+            -- k <= 1000 ranks, |x| <= ln 1000, |y| <= ln corpus tokens
+            SELECT CAST(COUNT(*) AS DECIMAL(4,0)) AS k,
+                   CAST(SUM(x) AS DECIMAL(14,9)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(14,9)) AS sy,
+                   CAST(SUM(x * y) AS DECIMAL(24,18)) AS sxy,
+                   CAST(SUM(x * x) AS DECIMAL(24,18)) AS sxx
+            FROM ranked
+        )
+        SELECT CAST(k AS BIGINT) AS n_terms,
+               CAST(k * sxy - sx * sy AS DOUBLE)
+                   / CAST(k * sxx - sx * sx AS DOUBLE) AS zipf_slope
+        FROM s
+    """,
+    tags=("text", "profile", "agg"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: least-squares slope of
+    ln(frequency) against ln(rank) for the top-1000 terms — the corpus
+    health readout (natural language sits near −1; a slope collapsing
+    toward 0 flags boilerplate/template floods, a steep slope flags
+    vocabulary collapse).
+
+    Rides the tfidf/perplexity shared memo frame (one tokenize for the
+    whole text-profile family), aggregated to the vocabulary — the rank
+    window sits over groupBy(tok) output (the sanctioned corpus-sublinear
+    frame; same site class as the perplexity vocab total). Exactness is
+    the perplexity decimal trick end-to-end: ln terms rounded to 9dp
+    DECIMAL, the regression sums are exact decimal arithmetic, and only
+    the final slope divides as double — bit-identical across engines."""
+    tc = _doc_token_counts(spark, sf_dir)
+    freq = tc.groupBy("tok").agg(F.sum("c").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 1000)
+        .select(
+            F.round(F.log(F.col("rank").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("x"),
+            F.round(F.log(F.col("n").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("y"),
+        )
+    )
+    # Exactness discipline (two observed hazards): (1) the naive
+    # k·Σxy at Spark's inferred precision blows the 38-digit decimal cap
+    # and each engine rounds the overflow differently (2.7e-10 drift);
+    # (2) combining double-cast sums leaves the numerator to each
+    # engine's expression compiler, and DuckDB's fused multiply-subtract
+    # rounds differently from the JVM's separate ops (5e-15 drift). So:
+    # re-cast the exact sums to TIGHT decimals (k ≤ 1000, |x| ≤ ln 1000,
+    # |y| ≤ ln corpus tokens — every product and difference stays inside
+    # 38 digits, exact), form numerator and denominator as decimals, and
+    # perform exactly ONE double op: the final division.
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(4,0)").alias("k"),
+        F.sum("x").cast("decimal(14,9)").alias("sx"),
+        F.sum("y").cast("decimal(14,9)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(24,18)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(24,18)").alias("sxx"),
+    )
+    k, sx, sy, sxy, sxx = (
+        F.col("k"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    )
+    return s.select(
+        k.cast("bigint").alias("n_terms"),
+        (
+            (k * sxy - sx * sy).cast("double")
+            / (k * sxx - sx * sx).cast("double")
+        ).alias("zipf_slope"),
+    )

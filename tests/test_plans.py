@@ -504,6 +504,7 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
     window_subtrees_reduced("text_perplexity_proxy")
     window_subtrees_reduced("events_daily_user_growth")
     window_subtrees_reduced("window_share_of_total")
+    window_subtrees_reduced("text_zipf_fit")
 
 
 def test_q11_no_unpartitioned_window_and_single_fact_pass(spark, sf_dir):
