@@ -1419,3 +1419,62 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_attribution_first_touch",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        first_touch AS (
+            SELECT user_id, event_type AS first_type
+            FROM per_user WHERE rn = 1
+        ),
+        conv AS (
+            SELECT user_id,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT f.first_type,
+               CAST(COUNT(c.user_id) AS BIGINT) AS n_converting_users,
+               CAST(COALESCE(SUM(c.purchase_value), 0) AS DOUBLE)
+                   AS attributed_value
+        FROM first_touch f
+        LEFT JOIN conv c USING (user_id)
+        GROUP BY f.first_type
+    """,
+    tags=("events", "attribution", "funnel"),
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's total purchase value is
+    credited to the event type that FIRST brought them in (their
+    earliest event by the (ts, event_id) total order) — the standard
+    marketing-attribution readout, the single-credit complement of the
+    funnel counts.
+
+    ONE user_id shuffle computes both sides: min(struct(ts, event_id,
+    event_type)) picks the first touch and a conditional decimal sum
+    accumulates purchase value in the same aggregate — no second scan,
+    no join back to events. The per-type rollup is a tiny second
+    aggregate. Values are exact decimals until the final double cast."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", dec2("value"))
+        ).alias("purchase_value"),
+    )
+    return per_user.groupBy(
+        F.col("first.event_type").alias("first_type")
+    ).agg(
+        F.count(F.col("purchase_value")).alias("n_converting_users"),
+        F.coalesce(F.sum("purchase_value"), F.lit(0))
+        .cast("double")
+        .alias("attributed_value"),
+    )

@@ -570,3 +570,88 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("v").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "join_scd2_asof",
+    oracle="""
+        WITH changes AS (
+            SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+                   o_orderkey
+            FROM (
+                SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                       lag(o_orderstatus) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                       ) AS prev_status
+                FROM orders
+            )
+            WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+        ),
+        hist AS (
+            SELECT o_custkey, o_orderstatus, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY valid_from, o_orderkey
+                   ) AS valid_to
+            FROM changes
+        )
+        SELECT e.event_id, h.o_orderstatus AS status_at_event
+        FROM events e
+        LEFT JOIN hist h
+          ON h.o_custkey = e.user_id
+         AND CAST(h.valid_from AS TIMESTAMP) <= e.ts
+         AND (h.valid_to IS NULL OR e.ts < CAST(h.valid_to AS TIMESTAMP))
+    """,
+    tags=("join", "scd2", "asof"),
+)
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against SCD2 history — the
+    warehouse op that makes type-2 dimensions useful: each event joins
+    to the customer-status interval that was valid AT the event's
+    timestamp ([valid_from, valid_to), open-ended current row). The
+    interval-form complement of join_asof's union+window emulation: the
+    history is built once (etl_scd2_history's lag/lead shape, one
+    o_custkey shuffle) and probes join on the EQUI key with the interval
+    containment as a residual predicate — a plain hash join at any
+    scale, never a theta join, because each customer holds few intervals
+    and the residual filters within the matched bucket.
+
+    Events before a user's first interval (or from users with no orders)
+    keep a NULL status via the left join — at most one interval matches
+    per event (intervals partition the timeline), so row count is
+    exactly |events| and the whole frame hash-checks."""
+    o = table(spark, sf_dir, "orders")
+    w_scan = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w_scan))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    w_close = Window.partitionBy("o_custkey").orderBy(
+        "valid_from", "o_orderkey"
+    )
+    hist = changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.lead("valid_from").over(w_close).cast("timestamp").alias("valid_to"),
+    )
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return ev.join(
+        hist,
+        (hist.o_custkey == ev.user_id)
+        & (hist.valid_from <= ev.ts)
+        & (hist.valid_to.isNull() | (ev.ts < hist.valid_to)),
+        "left",
+    ).select("event_id", F.col("o_orderstatus").alias("status_at_event"))

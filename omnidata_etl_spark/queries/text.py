@@ -1327,3 +1327,61 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (k * sxx - sx * sx).cast("double")
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_code_detection",
+    oracle=r"""
+        WITH d AS (
+            SELECT source,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(
+                       text, '[{}();=<>\[\]#]', '', 'g')) AS n_sym,
+                   length(text) - length(regexp_replace(
+                       text, '[0-9]', '', 'g')) AS n_digit
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN CAST(n_sym AS DOUBLE)
+                                  / CAST(n_chars AS DOUBLE)
+                                  > CAST(0.02 AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_code_docs,
+               CAST(SUM(n_sym) AS BIGINT) AS total_symbols,
+               CAST(SUM(n_digit) AS BIGINT) AS total_digits
+        FROM d GROUP BY source
+    """,
+    tags=("text", "quality", "ml"),
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection by symbol density — the corpus-routing
+    primitive of an LLM data pipeline (code shards to a code-aware
+    tokenizer/sampling weight; prose doesn't): documents whose
+    code-symbol character share ({}();=<>[]#) exceeds 2% flag as code,
+    rolled up per source.
+
+    Pure JVM path: two regexp_replace strip-and-diff counts per row
+    (literal character classes — identical semantics in Java regex and
+    RE2), one groupBy(source) with map-side combine. The flag threshold
+    compares integer-ratio doubles, exact in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(
+        F.regexp_replace("text", r"[{}();=<>\[\]#]", "")
+    )
+    n_digit = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    d = docs.select(
+        "source",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_sym"),
+        n_digit.alias("n_digit"),
+    )
+    is_code = (
+        F.col("n_sym").cast("double") / F.col("n_chars").cast("double")
+    ) > F.lit(0.02)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_code.cast("bigint")).alias("n_code_docs"),
+        F.sum("n_sym").cast("bigint").alias("total_symbols"),
+        F.sum("n_digit").cast("bigint").alias("total_digits"),
+    )
