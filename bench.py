@@ -60,6 +60,7 @@ SKIP = {
     # These two stage fixture/shattered files into /tmp and run stream or
     # write machinery over them — same staging class as the sink ops above.
     "stream_text_source_tail",
+    "stream_checkpoint_recovery",
     "etl_compact_small_files",
     "sink_text_source_roundtrip",
     # writes an ORC staging dir per call — same staging class

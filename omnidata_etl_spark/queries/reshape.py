@@ -494,3 +494,64 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(w_close).alias("valid_to"),
     )
+
+
+@query(
+    "fn_recursive_month_spine",
+    oracle="""
+        WITH RECURSIVE months(m, hi) AS (
+            SELECT date_trunc('month', MIN(o_orderdate)),
+                   date_trunc('month', MAX(o_orderdate))
+            FROM orders
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        ),
+        rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(months.m, '%Y-%m') AS month,
+               COALESCE(rev.n_orders, 0) AS n_orders,
+               CAST(COALESCE(rev.r, 0) AS DOUBLE) AS revenue
+        FROM months LEFT JOIN rev ON months.m = rev.m
+    """,
+    tags=("fn", "recursive", "timeseries"),
+)
+def fn_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE calendar spine (Spark 4's WITH RECURSIVE — new SQL
+    surface this engine now covers): generate every month between the
+    first and last order date BY RECURSION, then left-join monthly
+    revenue so empty months surface as explicit zero rows — the
+    gap-free time series a BI layer needs (the recursion-based
+    formulation of what events_resample_gapfill builds with
+    sequence()/explode; both shapes now covered).
+
+    Scale: the recursion iterates over the CALENDAR (|months| steps,
+    one tiny frame per step), never over the fact table — the orders
+    scan happens exactly twice (bounds + monthly rollup, both one-pass
+    aggregates). The DuckDB oracle runs the IDENTICAL recursive SQL,
+    making this a same-formulation differential of the recursion
+    semantics themselves (step count, inclusive bounds, empty-month
+    coalesce)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_spine")
+    return spark.sql("""
+        WITH RECURSIVE months(m, hi) AS (
+            SELECT date_trunc('MONTH', MIN(o_orderdate)),
+                   date_trunc('MONTH', MAX(o_orderdate))
+            FROM v_orders_spine
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+        ),
+        rev AS (
+            SELECT date_trunc('MONTH', o_orderdate) AS m,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+            FROM v_orders_spine GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               COALESCE(rev.n_orders, 0) AS n_orders,
+               CAST(COALESCE(rev.r, 0) AS DOUBLE) AS revenue
+        FROM months LEFT JOIN rev ON months.m = rev.m
+    """)

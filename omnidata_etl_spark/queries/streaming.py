@@ -471,3 +471,71 @@ def stream_text_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(qname)
         shutil.rmtree(seg_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query("stream_checkpoint_recovery", tags=("streaming", "sink", "exactly-once"))
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a kill/restart — the streaming guarantee the
+    other stream ops assume, here PROVEN: a file-source → parquet-sink
+    stream processes two source files, is STOPPED, two more files land,
+    and a fresh query object restarts from the same checkpoint. The
+    offset/commit logs must replay nothing and skip nothing: every
+    source file contributes exactly once.
+
+    Self-evidence columns (rows-only; a restart harness has no SQL
+    twin): n_sink_rows must equal 4 × n_source_rows, and
+    n_wrong_multiplicity — event_ids whose sink count ≠ 4 — must be 0.
+    A replayed batch would show multiplicity 5+, a dropped one 3-, so
+    the exactly-once claim is visible in the driver's own artifact.
+    Pinned behaviorally in tests/test_streaming.py."""
+    src_file = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src_file).schema
+    base = tempfile.mkdtemp(prefix="omnidata_ckpt_rec_")
+    src_dir, sink_dir, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src_dir)
+
+    def run_until_drained(tag: str) -> None:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            _normalize_ts(stream)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        for i in range(2):
+            os.symlink(src_file, f"{src_dir}/events_{i}.parquet")
+        run_until_drained("phase1")
+        for i in range(2, 4):
+            os.symlink(src_file, f"{src_dir}/events_{i}.parquet")
+        run_until_drained("phase2")  # NEW query object, SAME checkpoint
+
+        n_source = spark.read.parquet(src_file).count()
+        sink = spark.read.parquet(sink_dir)
+        n_sink = sink.count()
+        n_wrong = (
+            sink.groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") != 4)
+            .count()
+        )
+        row = (n_source, n_sink, n_sink == 4 * n_source, n_wrong)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_source_rows long, n_sink_rows long, exactly_once_ok boolean, "
+        "n_wrong_multiplicity long",
+    )

@@ -353,3 +353,16 @@ def test_random_window_agg_stream_equals_batch(spark, sf_dir):
             _stop(q)
         want = sorted(map(tuple, shape(batch_ev).collect()))
         assert got == want, f"case {case}: {minutes}min window diverged"
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir):
+    """The kill/restart harness must prove exactly-once: sink rows equal
+    4x source (two files per phase, two phases, one checkpoint), with no
+    event_id at the wrong multiplicity — a replayed batch would show 5+,
+    a dropped one 3-."""
+    from omnidata_etl_spark.registry import all_specs
+
+    row = all_specs()["stream_checkpoint_recovery"].fn(spark, sf_dir).collect()[0]
+    assert row["exactly_once_ok"], row
+    assert row["n_wrong_multiplicity"] == 0
+    assert row["n_sink_rows"] == 4 * row["n_source_rows"] > 0
