@@ -341,14 +341,29 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_static_join", tags=("streaming", "join"))
+@query(
+    "stream_static_join",
+    oracle="""
+        SELECT 'tier_' || CAST(user_id % 3 AS VARCHAR) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE user_id BETWEEN 0 AND 9999
+        GROUP BY 1
+    """,
+    tags=("streaming", "join"),
+)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the streaming events feed enriched against a
     static dimension (user → tier) before a windowed-style aggregate — the
     canonical streaming-ETL enrichment. The static side is broadcast into
     every micro-batch (re-read per batch if it changes on disk; here it is
-    deterministic: tier = user_id mod 3). Rows-only; tests assert equality
-    with the identical batch join."""
+    deterministic: tier = user_id mod 3).
+
+    Oracle-checked (r11 promotion): the complete-mode aggregate the
+    memory sink materializes is a deterministic relational result, so the
+    WHOLE streaming path — file source, micro-batch broadcast join,
+    stateful complete-mode aggregation — hash-checks against DuckDB
+    running the equivalent batch SQL over the same parquet."""
     src = _event_stream(spark, sf_dir)
     users = spark.range(0, 10000).select(
         F.col("id").alias("user_id"),
@@ -371,16 +386,36 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
-@query("stream_stream_interval_join", tags=("streaming", "join"))
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+        WITH pairs AS (
+            SELECT c.user_id AS c_user, p.value
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT c_user) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS attributed_value
+        FROM pairs
+    """,
+    tags=("streaming", "join"),
+)
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a preceding
     click by the same user within 1 hour — two independently watermarked
     streams joined on equality + a time-range predicate. The watermarks
     bound BOTH sides' join state (each side buffers only rows younger than
     watermark + interval), which is what makes an unbounded two-feed join
-    viable at 100 TB/day; without them state grows forever. Rows-only;
-    tests assert equality with the identical batch join
-    (tests/test_streaming.py).
+    viable at 100 TB/day; without them state grows forever.
+    Oracle-checked (r11 promotion): the summary the join materializes is
+    deterministic (the single-file source drains inside the watermark, so
+    no pair is late-dropped — the batch-equality test pins the same), and
+    the decimal-summed value makes it hash-exact vs DuckDB's batch
+    formulation of the identical interval join.
 
     The attributed-value sum goes through DECIMAL(18,2) per row (raw 2dp
     column) so the total is summation-order-independent — streaming
