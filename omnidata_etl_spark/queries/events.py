@@ -1478,3 +1478,59 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+        WITH per_min AS (
+            SELECT user_id, date_trunc('minute', ts) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        peaks AS (
+            SELECT user_id, MAX(n) AS peak_per_min,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_active_minutes
+            FROM per_min GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN peak_per_min >= 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(MAX(peak_per_min) AS BIGINT) AS max_peak_per_min,
+               CAST(SUM(CASE WHEN peak_per_min >= 5 THEN n_events ELSE 0
+                        END) AS BIGINT) AS n_events_from_flagged
+        FROM peaks
+    """,
+    tags=("events", "quality", "ml"),
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based bot/automation detection — the traffic-hygiene filter a
+    training-data pipeline runs before user-generated content enters a
+    corpus: a user whose peak event rate hits ≥5 events within one
+    minute is flagged, and the summary reports how much event volume the
+    flagged cohort contributes (the mass that would be excluded).
+
+    Two cascaded aggregations, both map-side combining: (user, minute)
+    counts collapse the stream, per-user peaks collapse the minutes, and
+    the final summary is one row. No windows, no joins — the cheapest
+    possible shape for a per-entity rate statistic, and every column is
+    integer-exact."""
+    ev = table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    peaks = per_min.groupBy("user_id").agg(
+        F.max("n").alias("peak_per_min"),
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+    )
+    flagged = F.col("peak_per_min") >= 5
+    return peaks.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(flagged.cast("bigint")).alias("n_flagged"),
+        F.max("peak_per_min").alias("max_peak_per_min"),
+        F.sum(F.when(flagged, F.col("n_events")).otherwise(0)).alias(
+            "n_events_from_flagged"
+        ),
+    )

@@ -555,3 +555,49 @@ def fn_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COALESCE(rev.r, 0) AS DOUBLE) AS revenue
         FROM months LEFT JOIN rev ON months.m = rev.m
     """)
+
+
+@query(
+    "agg_percent_change_mom",
+    oracle="""
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+            FROM orders GROUP BY 1
+        )
+        SELECT month,
+               CAST(r AS DOUBLE) AS revenue,
+               CAST(r - lag(r) OVER (ORDER BY month) AS DOUBLE)
+                   / CAST(lag(r) OVER (ORDER BY month) AS DOUBLE)
+                   AS mom_change
+        FROM monthly
+    """,
+    tags=("agg", "window", "timeseries"),
+)
+def agg_percent_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change — the delta readout every BI
+    dashboard pairs with window_share_of_total's percent-of-whole: per
+    month, revenue and its relative change vs the previous month (NULL
+    for the first month).
+
+    The lag window is unpartitioned but sits over the ALREADY AGGREGATED
+    |months| frame (the sanctioned bounded-frame pattern; same argument
+    as window_share_of_total's 3-row global window). The change is a
+    quotient of exact decimal differences cast to double — one double
+    division, bit-identical across engines."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("MONTH", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.sum(dec2("o_totalprice")).alias("r"))
+    w = Window.orderBy("month")
+    prev = F.lag("r").over(w)
+    return monthly.select(
+        "month",
+        F.col("r").cast("double").alias("revenue"),
+        ((F.col("r") - prev).cast("double") / prev.cast("double")).alias(
+            "mom_change"
+        ),
+    )

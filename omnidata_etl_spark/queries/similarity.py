@@ -1191,65 +1191,77 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main.crossJoin(F.broadcast(recall)).unionByName(sentinel)
 
 
-@query("embedding_label_centroids", tags=("similarity", "ml"))
+@query(
+    "embedding_label_centroids",
+    oracle="""
+        WITH per_dim AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings
+        ),
+        agg AS (
+            SELECT label, dim,
+                   SUM(CAST(round(CAST(x AS DOUBLE), 9)
+                            AS DECIMAL(18,9))) AS sx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM per_dim GROUP BY label, dim
+        )
+        SELECT label,
+               list(CAST(sx AS DOUBLE) / n ORDER BY dim) AS centroid,
+               MAX(n) AS n_vectors
+        FROM agg GROUP BY label
+    """,
+    tags=("similarity", "ml"),
+)
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean embedding per label (class centroids / prototypes — the
     nearest-class-mean classifier's training step, and the reduce that
     k-means iterates). Expressed dimension-wise: posexplode each vector,
     average per (label, dim), reassemble sorted by dim — one shuffle keyed
     on (label, dim), map-side partial sums, no vectors collected to the
-    driver. Rows-only: float summation order differs across engines (the
-    per-dim double sums are order-dependent); correctness is pinned against
-    numpy in tests/test_similarity.py.
+    driver.
 
-    Self-evidencing (r9, VERDICT r8 #6): ``mean_identity_ok`` recomputes
-    Σ_dim centroid[dim] two ways in-output — a fold over the ASSEMBLED
-    array vs (Σ_dim sx)/n carried through the aggregation — and flags
-    agreement to 1e-9. The two sides diverge exactly when the
-    array_sort/transform reassembly drops, duplicates, or misorders a
-    dimension (misorder changes which mean lands where, and a dropped dim
-    changes the fold's sum), so the flag proves the reassembly step inside
-    the rows-only artifact itself."""
+    Oracle-checked (r11 promotion, formerly rows-only for float-sum
+    order): each summand is rounded to 9dp and summed as DECIMAL, so the
+    per-dim sums are associative and engine-order-proof. The rounding
+    loses nothing structural — float32 values are binary fractions, which
+    can never sit ON a 0.5e-9 decimal boundary (their lowest-term
+    denominators have no factor 5), so both engines round every summand
+    identically — and the mean deviates from the exact float64 mean by
+    < 1e-9 (numpy parity pinned at that tolerance in
+    tests/test_similarity.py). The hashed ARRAY column directly verifies
+    the reassembly (order, completeness, per-dim values), superseding the
+    r9 mean_identity_ok self-evidence column."""
     emb = table(spark, sf_dir, "embeddings")
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
-            F.sum(F.col("x").cast("double")).alias("sx"),
+            F.sum(
+                F.round(F.col("x").cast("double"), 9).cast("decimal(18,9)")
+            ).alias("sx"),
             F.count("*").alias("n"),
         )
         .select(
-            "label", "dim", "n", "sx",
-            (F.col("sx") / F.col("n")).alias("mean_x"),
+            "label", "dim", "n",
+            (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
         )
     )
-    assembled = (
+    return (
         per_dim.groupBy("label")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("dim", "mean_x"))
             ).alias("pairs"),
             F.max("n").alias("n_vectors"),
-            F.sum("sx").alias("sx_total"),
         )
         .select(
             "label",
             F.transform(F.col("pairs"), lambda p: p.mean_x).alias("centroid"),
             F.col("n_vectors").cast("bigint").alias("n_vectors"),
-            "sx_total",
         )
-    )
-    centroid_sum = F.aggregate(
-        F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return assembled.select(
-        "label",
-        "centroid",
-        "n_vectors",
-        (
-            F.abs(centroid_sum - F.col("sx_total") / F.col("n_vectors"))
-            < 1e-9
-        ).alias("mean_identity_ok"),
     )
 
 

@@ -146,6 +146,25 @@ PROBE_QUERIES = (
     "multimodal_video_scene_cut",
     "dedup_chunk_exact",
     "etl_incremental_aggregate",
+    # r11 additions
+    "agg_weighted_median",
+    "agg_gini_concentration",
+    "embedding_dim_stats",
+    "etl_length_bucket_batching",
+    "etl_curriculum_stages",
+    "etl_join_skew_report",
+    "events_top_paths",
+    "events_gap_histogram",
+    "agg_entropy_by_group",
+    "events_user_overlap_jaccard",
+    "text_zipf_fit",
+    "etl_dataset_card_stats",
+    "join_scd2_asof",
+    "events_attribution_first_touch",
+    "text_code_detection",
+    "fn_recursive_month_spine",
+    "events_bot_detection",
+    "agg_percent_change_mom",
 )
 KEY_OFFSET = 10_000_000_000
 

@@ -470,6 +470,7 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
         "queries/text.py",       # vocab total over groupBy(tok) output
         "queries/events.py",     # cumulative sum over per-day aggregates
         "queries/windows.py",    # share-of-total over groupBy(o_orderstatus) (3 rows)
+        "queries/reshape.py",    # MoM lag over groupBy(month) (~80 rows)
     }, f"new unpartitioned-window site(s): {sites}"
 
     def window_subtrees_reduced(name: str, dim_ok: bool = False) -> None:
@@ -505,6 +506,7 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
     window_subtrees_reduced("events_daily_user_growth")
     window_subtrees_reduced("window_share_of_total")
     window_subtrees_reduced("text_zipf_fit")
+    window_subtrees_reduced("agg_percent_change_mom")
 
 
 def test_q11_no_unpartitioned_window_and_single_fact_pass(spark, sf_dir):

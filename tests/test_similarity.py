@@ -61,7 +61,9 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         cent, n = got[label]
         assert n == len(vecs)
         assert cent.shape == want.shape
-        np.testing.assert_allclose(cent, want, rtol=1e-9, atol=1e-12)
+        # 9dp decimal summand quantization (the r11 oracle-promotion
+        # trick) bounds the mean within 5e-10 of the float64 mean
+        np.testing.assert_allclose(cent, want, rtol=0, atol=1e-9)
 
 
 def test_quantize_int8_roundtrip_bound(spark, sf_dir):
