@@ -127,6 +127,9 @@ RATIO_EXCLUDE = {
         "fixture-scale ingest demo (6-row file) with an ORC write+read "
         "inside the Spark side; oracle is DuckDB's csv parse"
     ),
+    "ingest_quarantine_split": (
+        "fixture-scale ingest demo (3-row bad-types file, not sf-scaled)"
+    ),
 }
 
 

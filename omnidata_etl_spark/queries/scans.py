@@ -868,3 +868,39 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_columns int, id_type string, n_rows long, n_backfilled long, "
         "evolution_ok boolean",
     )
+
+
+@query(
+    "ingest_quarantine_split",
+    oracle=lambda: f"""
+        SELECT person_id, full_name,
+               TRY_CAST(balance AS DECIMAL(12,2)) AS balance,
+               (TRY_CAST(balance AS DECIMAL(12,2)) IS NULL
+                AND balance IS NOT NULL) AS quarantined
+        FROM read_csv('{fixture_path("people_badtypes.csv")}',
+                      header=true, all_varchar=true, delim=',')
+    """,
+    tags=("scan", "ingest", "quality"),
+)
+def ingest_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-split typed load — the production alternative to the
+    reference's abort-on-first-bad-cast (backend/index.js:240, mirrored
+    by ingest.load's strict-ANSI contract): rows whose declared-type
+    cast fails are ROUTED, not fatal — `try_cast` yields NULL for the
+    malformed cell and the `quarantined` flag marks the row for the
+    rejects channel, while clean rows load typed. At 100 TB a single
+    bad cell must never kill a load; this is the row-level DLQ shape
+    (filter on the flag to split good/reject frames downstream).
+
+    Runs over the SAME fixture whose strict load is pinned to FAIL in
+    tests/test_ingest.py — the pair documents both contracts. Oracle:
+    DuckDB TRY_CAST over the same csv; NULL-on-malformed semantics are
+    identical, so the whole routed frame hash-checks."""
+    src = read_any(spark, fixture_path("people_badtypes.csv"))
+    bal = F.expr("try_cast(balance AS DECIMAL(12,2))")
+    return src.select(
+        "person_id",
+        "full_name",
+        bal.alias("balance"),
+        (bal.isNull() & F.col("balance").isNotNull()).alias("quarantined"),
+    )

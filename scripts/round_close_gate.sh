@@ -33,6 +33,7 @@ grep -qE "^[0-9]+ passed" "$WORK/pytest.log"
 
 echo "-- [2/3] closing bench (sf0.1) --"
 python bench.py > "$WORK/bench.json" 2> "$WORK/bench.err"
+cp BENCH_DETAIL.json "$WORK/BENCH_DETAIL.json"   # survives worktree removal
 tail -1 "$WORK/bench.json"
 python - "$WORK/bench.json" <<'PY'
 import json, sys
