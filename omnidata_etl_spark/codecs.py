@@ -766,7 +766,19 @@ def resize_image(
     `nearest` is pure index mapping; `bilinear` is the standard 2×2
     neighborhood blend with edge clamping (pixel-center convention).
     """
-    img = decode_image(payload).astype(np.float64)
+    return resample_pixels(decode_image(payload), width, height, method)
+
+
+def resample_pixels(
+    decoded: np.ndarray, width: int, height: int, method: str = "bilinear"
+) -> bytes:
+    """Resample ALREADY-DECODED uint8 pixels and encode as PPM — split out
+    of resize_image (r11 optimization round) so a caller that has already
+    decoded the payload (multimodal_image_resize decodes once for its
+    brightness stats) does not pay a second full entropy decode. Identical
+    float math: the uint8 pixels are promoted to float64 exactly as the
+    fused path did."""
+    img = decoded.astype(np.float64)
     h, w = img.shape[:2]
     if method == "nearest":
         yi = np.minimum((np.arange(height) + 0.5) * h / height, h - 1).astype(int)

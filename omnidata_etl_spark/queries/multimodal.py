@@ -41,6 +41,7 @@ from omnidata_etl_spark.codecs import (
     decode_image,
     encode_ppm,
     encode_wav,
+    resample_pixels,
     resize_image,
     waveform_stats,
 )
@@ -490,7 +491,10 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = _synth_image_payload(int(did), text)
                 before = decode_image(payload)
-                resized = resize_image(payload, 8, 6, method="bilinear")
+                # resample from the already-decoded pixels (r11: the fused
+                # resize_image(payload) re-ran the full entropy decode —
+                # identical bytes, one decode saved per asset)
+                resized = resample_pixels(before, 8, 6, method="bilinear")
                 after = decode_image(resized)
                 out["out_bytes"].append(len(resized))
                 out["dims_ok"].append(after.shape == (6, 8, 3))
