@@ -783,31 +783,92 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight reaches half the group total — the robust "typical price paid"
     statistic a plain median (per-row) or mean (skew-sensitive) misreads.
 
-    Scale shape: rows pre-aggregate to DISTINCT (group, price) with summed
-    weights BEFORE the cumulative window (map-side combine; the window
-    then rides a value-domain-bounded frame, not the fact table), and the
-    threshold test is integer-exact decimal arithmetic (cw*2 >= tw — no
-    division, no float boundary). Only the selected medians cast to
-    double. The low-cardinality group key means few large window
-    partitions; at 100 TB the declared exact form still holds because the
-    frame is |distinct prices| per group (bounded by the price domain),
-    not |lineitem|."""
+    r11 optimization round (guide §2.3/§2.5): the original one-pass form
+    pre-aggregated to DISTINCT (group, price) — but prices are ~unique
+    (583k distinct of 600k rows at sf0.1), so the "bounded" cumulative
+    window in fact shuffled 597k rows into |groups| = 4 partitions and
+    sorted ~150k rows per single task: a funnel that grows linearly with
+    corpus size. Replaced with the classic two-phase exact quantile
+    refinement, every step in exact decimal so the selected price is
+    bit-identical to the one-pass form (equivalence proof in the inline
+    comments; oracle unchanged):
+
+      1. coarse: bucket price-cents (div 32768, ~340 buckets over the
+         domain), one map-side-combined aggregation → ≤ |groups|×|buckets|
+         rows; the cumulative window rides THIS tiny frame.
+      2. crossing: the unique bucket per group where cumulative weight
+         first reaches half the total (cw*2 >= tw AND (cw-w)*2 < tw).
+      3. fine: re-scan only that bucket's rows per group (a broadcast
+         join of the ≤|groups|-row crossing table), aggregate per price,
+         and pick the smallest price where (base + within-bucket
+         cumulative)*2 >= tw, base = cumulative weight below the bucket.
+
+    The crossing price provably lies in the crossing bucket (cumulative
+    weight through the previous bucket is < tw/2, through this one is
+    >= tw/2, and weights are positive), so phases 1+3 select exactly the
+    one-pass minimum. At 100 TB both windows stay |buckets|-bounded and
+    the second scan touches ~1/|buckets| of the fact after pushdown."""
     grp = ["l_returnflag", "l_linestatus"]
+    # all-integer internals (exact, and long sums codegen far cheaper than
+    # decimal sums): quantity rides as exact CENTS (2dp-exact double ×100
+    # rounds to the exact integer), the price stays the raw double —
+    # distinct 2dp-exact doubles ↔ distinct DECIMAL(18,2) one-to-one and
+    # in the same order, and double→DECIMAL(18,2)→double is the identity
+    # for them (dec2 contract), so MIN(price) emits the oracle's bits
     li = table(spark, sf_dir, "lineitem").select(
         *grp,
-        dec2("l_extendedprice").alias("price"),
-        dec2("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("price"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
     )
-    pre = li.groupBy(*grp, "price").agg(F.sum("q").alias("w"))
-    cum = F.sum("w").over(
+    # price cents are exact ≤ ~2^24 values: the /32768 double quotient is
+    # exact and the floor is a monotone bucket id at any scale
+    bucket = F.floor(F.round(F.col("price") * 100) / 32768).cast("long")
+    coarse = li.groupBy(*grp, bucket.alias("bucket")).agg(
+        F.sum("qc").alias("w")
+    )
+    wcum = (
+        Window.partitionBy(*grp)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*grp)
+    crossing = (
+        coarse.select(
+            *grp,
+            "bucket",
+            "w",
+            F.sum("w").over(wcum).alias("cw"),
+            F.sum("w").over(wtot).alias("tw"),
+        )
+        .where(
+            (F.col("cw") * 2 >= F.col("tw"))
+            & ((F.col("cw") - F.col("w")) * 2 < F.col("tw"))
+        )
+        .select(
+            F.col(grp[0]).alias("g0"),
+            F.col(grp[1]).alias("g1"),
+            "bucket",
+            (F.col("cw") - F.col("w")).alias("base"),
+            "tw",
+        )
+    )
+    fine = li.join(
+        F.broadcast(crossing),
+        (li[grp[0]] == F.col("g0"))
+        & (li[grp[1]] == F.col("g1"))
+        & (bucket == F.col("bucket")),
+    )
+    pre = fine.groupBy(*grp, "price", "base", "tw").agg(
+        F.sum("qc").alias("w")
+    )
+    cum_in = F.sum("w").over(
         Window.partitionBy(*grp)
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tot = F.sum("w").over(Window.partitionBy(*grp))
     return (
-        pre.select(*grp, "price", cum.alias("cw"), tot.alias("tw"))
-        .where(F.col("cw") * 2 >= F.col("tw"))
+        pre.select(*grp, "price", "base", "tw", cum_in.alias("cwi"))
+        .where((F.col("base") + F.col("cwi")) * 2 >= F.col("tw"))
         .groupBy(*grp)
         .agg(F.min("price").cast("double").alias("weighted_median_price"))
     )
@@ -845,41 +906,75 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The interesting part at 100 TB is the EXACT global rank: a naive
     `row_number() OVER (ORDER BY x)` funnels every customer through one
-    WindowExec partition. This rides :func:`add_surrogate_key`'s
-    two-phase distributed rank instead (range-partition on (x, custkey),
-    parallel local sorts, per-partition offsets broadcast — same total
-    order, no funnel). All sums run in integer cents (revenue decimals
-    ×100; rank·cents products summed exactly in decimal/HUGEINT), so the
-    final double quotient is bit-identical across engines. Revenue ties
-    across range boundaries don't perturb G: equal x contribute x·Σranks
-    regardless of which tied row gets which rank.
+    WindowExec partition. r11 optimization round (guide §2.4): the
+    previous form materialized the two-phase distributed rank
+    (add_surrogate_key: range partition → local sort → persisted frame
+    consumed by an offsets branch AND the final aggregate) — under
+    re-execution the persisted frame is rebuilt for BOTH consumers every
+    run (0.66 s/run in the bench regime). But Gini never needs the
+    per-row rank column: with id = local_rn + offset(partition),
 
-    add_surrogate_key persists its ranged frame (two-consumer build), so
-    the ranked frame rides session_df_memo — one shared frame per
-    (sf_dir, fingerprint), not one persisted leak per build (the
-    etl_global_shuffle discipline)."""
-    from omnidata_etl_spark.ingest.load import add_surrogate_key
-    from omnidata_etl_spark.queries._util import session_df_memo
-    from omnidata_etl_spark.queries.similarity import _parquet_fingerprint
+        Σ id·x = Σ_p [ Σ_local rn·x  +  offset(p) · Σ_local x ]
 
-    def build():
-        o = table(spark, sf_dir, "orders")
-        rev = o.groupBy("o_custkey").agg(
-            (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("xc")
-        )
-        return add_surrogate_key(
-            rev, order_by=["xc", "o_custkey"], as_long=True
-        )
+    so ONE pass over the range-partitioned, locally-sorted frame
+    aggregates per-partition (count, Σx, Σ rn·x), the |partitions|-row
+    result takes a trivial prefix-sum for offsets, and the three global
+    sums fall out — no persist, no second consumer, no broadcast join
+    back, same exact integers. All sums run in integer cents (revenue
+    decimals ×100; rank·cents products summed exactly in decimal/
+    HUGEINT), so the final double quotient is bit-identical across
+    engines. Revenue ties across range boundaries don't perturb G: equal
+    x contribute x·Σranks regardless of which tied row gets which rank
+    (and the (x, custkey) order key is unique anyway)."""
+    from omnidata_etl_spark.session import default_parallelism
 
-    ranked = session_df_memo(
-        spark,
-        ("gini_rank", sf_dir, _parquet_fingerprint(sf_dir, "orders")),
-        build,
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("xc")
     )
-    a = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("xc").cast("decimal(38,0)")).alias("s"),
-        F.sum((F.col("id") * F.col("xc")).cast("decimal(38,0)")).alias("s1"),
+    # same two-phase rank layout as add_surrogate_key (range partition +
+    # local sort; monotonically_increasing_id's low 33 bits ARE the local
+    # row number over the sorted stream and its nondeterministic tag stops
+    # Catalyst reordering it below the sort)
+    numbered = (
+        rev.repartitionByRange(default_parallelism(), "xc", "o_custkey")
+        .sortWithinPartitions("xc", "o_custkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.monotonically_increasing_id().bitwiseAND(
+                F.lit((1 << 33) - 1)
+            )
+            + 1,
+        )
+    )
+    per = numbered.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("_rn") * F.col("xc")).cast("decimal(38,0)")).alias(
+            "srx"
+        ),
+    )
+    # |partitions|-row frame: the unpartitioned prefix-sum window is the
+    # sanctioned bounded-frame pattern (partition count, not row count)
+    off = F.coalesce(
+        F.sum("cnt").over(
+            Window.orderBy("_pid").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0).cast("long"),
+    )
+    a = (
+        per.withColumn("off", off)
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum("sx").alias("s"),
+            F.sum(
+                F.col("srx")
+                + F.col("off").cast("decimal(38,0)") * F.col("sx")
+            ).alias("s1"),
+        )
     )
     n, s, s1 = F.col("n"), F.col("s"), F.col("s1")
     return a.select(
