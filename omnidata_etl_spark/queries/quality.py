@@ -976,33 +976,63 @@ def etl_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage boundaries need the EXACT global rank (quantile-free: stage =
     (rank-1)·4 div n, integer arithmetic both engines share bit-for-bit).
-    Like agg_gini_concentration this uses add_surrogate_key's two-phase
-    distributed rank (range-partition → local sorts → broadcast offsets)
-    instead of the single-partition `row_number() OVER (ORDER BY ...)`
-    funnel — the oracle runs the funnel form because DuckDB is
-    single-node anyway; the ranks are identical because the order is
-    total. The memoized ranked frame follows the etl_global_shuffle
-    persist-leak discipline."""
-    from omnidata_etl_spark.ingest.load import add_surrogate_key
-    from omnidata_etl_spark.queries._util import session_df_memo
-    from omnidata_etl_spark.queries.similarity import _parquet_fingerprint
+    Like agg_gini_concentration this uses the two-phase distributed rank
+    (range-partition → local sorts → broadcast offsets) instead of the
+    single-partition `row_number() OVER (ORDER BY ...)` funnel — the
+    oracle runs the funnel form because DuckDB is single-node anyway; the
+    ranks are identical because the order is total.
 
-    def build():
-        docs = table(spark, sf_dir, "documents").select(
-            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
-        )
-        return add_surrogate_key(
-            docs, order_by=["n_tokens", "doc_id"], as_long=True
-        )
+    r11 optimization round: the add_surrogate_key + session_df_memo form
+    consumed the persisted rank frame from THREE branches (offsets, total
+    count, the stage projection), so a cache-cold execution — the bench's
+    prepared-statement regime, or any one-shot pipeline run — re-ran the
+    range shuffle four times plus two cache writes. Now the per-partition
+    counts frame yields offsets AND the total in one tiny pass, and the
+    stage projection is the only other consumer: exactly two executions
+    of the scan→tokenize→range-exchange pipeline, no persist. The two
+    executions land identical partitionings (RangePartitioner's sampling
+    is deterministic for a deterministic input — the same property
+    prepared-statement re-execution of add_surrogate_key plans already
+    relies on)."""
+    from omnidata_etl_spark.session import default_parallelism
 
-    ranked = session_df_memo(
-        spark,
-        ("curriculum_rank", sf_dir, _parquet_fingerprint(sf_dir, "documents")),
-        build,
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
-    n_total = ranked.agg(F.count(F.lit(1)).alias("n"))
-    staged = ranked.crossJoin(F.broadcast(n_total)).select(
-        F.expr("CAST((id - 1) * 4 DIV n AS INT)").alias("stage"),
+    numbered = (
+        docs.repartitionByRange(
+            default_parallelism(), "n_tokens", "doc_id"
+        )
+        .sortWithinPartitions("n_tokens", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.monotonically_increasing_id().bitwiseAND(
+                F.lit((1 << 33) - 1)
+            )
+            + 1,
+        )
+    )
+    # |partitions|-row frame: prefix-sum offsets + grand total in one go
+    # (unpartitioned windows over a partition-count-bounded frame — the
+    # sanctioned pattern)
+    counts = numbered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stats = counts.select(
+        "_pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0).cast("long")).alias(
+            "_off"
+        ),
+        F.sum("cnt").over(wall).alias("_n"),
+    )
+    staged = numbered.join(F.broadcast(stats), "_pid").select(
+        F.expr("CAST((_off + _rn - 1) * 4 DIV _n AS INT)").alias("stage"),
         "n_tokens",
     )
     return staged.groupBy("stage").agg(

@@ -471,6 +471,11 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
         "queries/events.py",     # cumulative sum over per-day aggregates
         "queries/windows.py",    # share-of-total over groupBy(o_orderstatus) (3 rows)
         "queries/reshape.py",    # MoM lag over groupBy(month) (~80 rows)
+        # r11 optimization round: prefix-sum offsets over per-PARTITION
+        # count frames (|partitions| rows at any SF) — the two-phase rank
+        # fold in agg_gini_concentration / etl_curriculum_stages
+        "queries/aggregations.py",
+        "queries/quality.py",
     }, f"new unpartitioned-window site(s): {sites}"
 
     def window_subtrees_reduced(name: str, dim_ok: bool = False) -> None:
@@ -507,6 +512,8 @@ def test_unpartitioned_windows_sit_above_small_frames(spark, sf_dir):
     window_subtrees_reduced("window_share_of_total")
     window_subtrees_reduced("text_zipf_fit")
     window_subtrees_reduced("agg_percent_change_mom")
+    window_subtrees_reduced("agg_gini_concentration")
+    window_subtrees_reduced("etl_curriculum_stages")
 
 
 def test_q11_no_unpartitioned_window_and_single_fact_pass(spark, sf_dir):
