@@ -47,8 +47,15 @@ TABLES = (
 # (mtime, size) so a regenerated table invalidates its mirror. The oracle
 # (DuckDB) keeps reading the original file. Opt out: OMNIDATA_NO_MIRROR=1.
 _MIRROR_ROOT = os.environ.get("OMNIDATA_MIRROR_DIR", "/tmp/omnidata_mirror")
-_MIN_MIRROR_ROWS = 50_000  # below this a 1-task scan is already ~free
+_MIN_MIRROR_ROWS = 50_000  # below this a 1-task scan is already ~free...
+# ...unless the rows are WIDE (documents: 5k rows ≈ 8 MB of text). r11
+# optimization round: byte-based eligibility and group sizing — a 5k-row
+# single-group file forced every codec/text query through a full-payload
+# spread() exchange (measured ~2× a trivial mapInPandas stage) when 32
+# parallel scan tasks of the same bytes cost no shuffle at all.
+_MIN_MIRROR_BYTES = 4 << 20  # on-disk bytes that justify a mirror
 _MIN_GROUP_ROWS = 8_192  # don't shred into groups too small to scan well
+_MIN_GROUP_BYTES = 256 << 10  # ...unless rows are wide: ≥256 KB per group
 
 
 def _splittable_path(sf_dir: str, name: str) -> tuple[str, int]:
@@ -74,8 +81,16 @@ def _splittable_path(sf_dir: str, name: str) -> tuple[str, int]:
     except Exception:
         return src, 1
     cores = default_parallelism()
-    target = min(cores, max(1, rows // _MIN_GROUP_ROWS))
-    if rows < _MIN_MIRROR_ROWS or groups >= max(2, target // 2):
+    size = os.path.getsize(src)
+    # group count: enough row-level parallelism for narrow tables AND
+    # enough byte-level parallelism for wide-row tables (documents), with
+    # floors so groups never get too small on either axis
+    target = min(
+        cores,
+        max(1, rows // _MIN_GROUP_ROWS, size // _MIN_GROUP_BYTES),
+    )
+    worth_mirroring = rows >= _MIN_MIRROR_ROWS or size >= _MIN_MIRROR_BYTES
+    if not worth_mirroring or groups >= max(2, target // 2):
         return src, groups
     st = os.stat(src)
     key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
