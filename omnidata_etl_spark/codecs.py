@@ -370,6 +370,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
 
 # --- image: GIF (pure-Python variable-width LZW + numpy palette map) ---------
 
+# root-code tables per min-code-size, built once per process (r11: the
+# per-decode rebuild was measurable across thousands of tiny frames)
+_LZW_BASE: dict[int, list[bytes]] = {}
+
 
 def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
     """GIF-flavor LZW (spec appendix F): variable code width starting at
@@ -378,46 +382,63 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
     per-code loop is Python, byte-appends are list ops — same linear
     per-byte CPU class as the PNG unfilter; asset-sized payloads only."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
-    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    base = _LZW_BASE.get(mcs)
+    if base is None:
+        base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        _LZW_BASE[mcs] = base
     table = list(base)
+    n_table = len(table)
     cs = mcs + 1
+    mask = (1 << cs) - 1
+    grow_at = 1 << cs
     out = bytearray()
+    n_out = 0
     acc = bits = 0
     prev: bytes | None = None
+    append = table.append
     for byte in data:
         acc |= byte << bits
         bits += 8
         while bits >= cs:
-            code = acc & ((1 << cs) - 1)
+            code = acc & mask
             acc >>= cs
             bits -= cs
             if code == clear:
                 table = list(base)
+                append = table.append
+                n_table = len(table)
                 cs = mcs + 1
+                mask = (1 << cs) - 1
+                grow_at = 1 << cs
                 prev = None
                 continue
             if code == eoi:
                 return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
             if prev is None:
-                if code >= len(table):
+                if code >= n_table:
                     raise ValueError(
                         f"corrupt GIF LZW stream: first code {code}"
                     )
                 entry = table[code]
-            elif code < len(table):
+            elif code < n_table:
                 entry = table[code]
-                if len(table) < 4096:  # deferred-clear streams stop adding
-                    table.append(prev + entry[:1])
-            elif code == len(table):  # the KwKwK case
+                if n_table < 4096:  # deferred-clear streams stop adding
+                    append(prev + entry[:1])
+                    n_table += 1
+            elif code == n_table:  # the KwKwK case
                 entry = prev + prev[:1]
-                table.append(entry)
+                append(entry)
+                n_table += 1
             else:
                 raise ValueError(f"corrupt GIF LZW stream: code {code}")
             out += entry
+            n_out += len(entry)
             prev = entry
-            if len(table) == (1 << cs) and cs < 12:
+            if n_table == grow_at and cs < 12:
                 cs += 1
-            if len(out) >= n_pixels:
+                mask = (1 << cs) - 1
+                grow_at = 1 << cs
+            if n_out >= n_pixels:
                 return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
     raise ValueError("truncated GIF LZW stream (no EOI, pixels short)")
 
@@ -438,47 +459,61 @@ def _gif_palette(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
 def _gif_lzw_encode(seq: bytes, mcs: int) -> bytes:
     """Index sequence → packed LZW code stream (spec appendix F). A real
     dictionary encoder (not the emit-clear-every-code shortcut), tracking
-    code width exactly as the decoder grows it."""
-    clear, eoi = 1 << mcs, (1 << mcs) + 1
-    codes: list[tuple[int, int]] = []  # (code, width at emit time)
-    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
-    next_code, cs = eoi + 1, mcs + 1
-    codes.append((clear, cs))
-    wbuf = seq[:1]
-    for i in range(1, len(seq)):
-        k = seq[i : i + 1]
-        if table.get(wbuf + k) is not None:
-            wbuf += k
-            continue
-        codes.append((table[wbuf], cs))
-        table[wbuf + k] = next_code
-        next_code += 1
-        if next_code - 1 == (1 << cs) and cs < 12:
-            # the decoder mirrors this add one code LATER (it appends the
-            # entry for emitted code C_i while processing C_{i+1}), so its
-            # table hits 2^cs — and its read width grows — exactly when
-            # our next_code-1 does; grow before emitting the next code
-            cs += 1
-        elif next_code == 4096:
-            codes.append((clear, cs))
-            table = {bytes([i]): i for i in range(1 << mcs)}
-            next_code, cs = eoi + 1, mcs + 1
-        wbuf = k
-    if seq:
-        codes.append((table[wbuf], cs))
-    codes.append((eoi, cs))
+    code width exactly as the decoder grows it.
 
-    acc = bits = 0
+    r11 optimization round (byte-identical output, golden-pinned in
+    tests/test_codecs.py): dictionary keys are ``(current_code << 8) |
+    next_byte`` ints instead of growing bytes strings — the greedy
+    longest-match walk traverses the same dictionary automaton, each
+    extended entry addressed by the code of its prefix — and the LSB-first
+    packer drains in bulk through ``int.to_bytes(..., "little")`` instead
+    of a per-byte loop."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc = 0  # LSB-first bit accumulator, drained in bulk
+    bits = 0
     stream = bytearray()
-    for code, width in codes:
-        acc |= code << bits
-        bits += width
-        while bits >= 8:
-            stream.append(acc & 0xFF)
-            acc >>= 8
-            bits -= 8
+    table: dict[int, int] = {}
+    next_code, cs = eoi + 1, mcs + 1
+    acc |= clear << bits
+    bits += cs
+    if seq:
+        cur = seq[0]
+        for k in seq[1:]:
+            key = (cur << 8) | k
+            nxt = table.get(key)
+            if nxt is not None:
+                cur = nxt
+                continue
+            acc |= cur << bits
+            bits += cs
+            if bits >= 2048:
+                nbytes = bits >> 3
+                stream += (acc & ((1 << (nbytes * 8)) - 1)).to_bytes(
+                    nbytes, "little"
+                )
+                acc >>= nbytes * 8
+                bits &= 7
+            table[key] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << cs) and cs < 12:
+                # the decoder mirrors this add one code LATER (it appends
+                # the entry for emitted code C_i while processing C_{i+1}),
+                # so its table hits 2^cs — and its read width grows —
+                # exactly when our next_code-1 does; grow before emitting
+                # the next code
+                cs += 1
+            elif next_code == 4096:
+                acc |= clear << bits
+                bits += cs
+                table = {}
+                next_code, cs = eoi + 1, mcs + 1
+            cur = k
+        acc |= cur << bits
+        bits += cs
+    acc |= eoi << bits
+    bits += cs
     if bits:
-        stream.append(acc & 0xFF)
+        stream += acc.to_bytes((bits + 7) >> 3, "little")
     return bytes(stream)
 
 
