@@ -351,6 +351,7 @@ def _synth_pixels(doc_id: int, text: str, w: int = 16, h: int = 12):
     return np.frombuffer((raw * reps)[:need], dtype=np.uint8).reshape(h, w, 3)
 
 
+@functools.lru_cache(maxsize=8192)
 def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> bytes:
     """Deterministic image payload for a document: its UTF-8 bytes tiled
     into a (h, w, 3) pixel grid, encoded as PPM, BMP, PNG, GIF, baseline
@@ -362,7 +363,13 @@ def _synth_image_payload(doc_id: int, text: str, w: int = 16, h: int = 12) -> by
     an ingested corpus would hit. GIF's ≤256-color constraint always holds
     here: the grid has w·h = 192 pixels, so at most 192 distinct colors.
     JPEG uses quality 100 so the lossy decode stays within _JPEG_TOL of
-    the source pixels."""
+    the source pixels.
+
+    lru_cached per worker process like _synth_animation_payload /
+    _synth_scenecut_payload (r11): this is FIXTURE synthesis — a real
+    corpus reads payloads from storage — so reused python workers don't
+    re-pay the encode; the declared operations (decode, resample,
+    roundtrip verification) always run."""
     from omnidata_etl_spark.codecs import encode_bmp, encode_gif, encode_png
     from omnidata_etl_spark.codecs_jpeg import (
         encode_jpeg,

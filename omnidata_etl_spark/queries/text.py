@@ -970,11 +970,18 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     templates score high and get stripped or down-weighted before
     training.
 
-    One shingle pass (the dedup family's rolling hash form — map-only),
-    collapsed to DISTINCT (doc, shingle) and persisted for its two
-    consumers: the cross-doc frequency table (whose ≥3 slice broadcasts —
-    at 100 TB swap a Bloom filter per the decontaminate note) and the
-    per-doc rollup. Hash-vs-string equivalence is the decontaminate
+    One shingle pass per consumer (the dedup family's rolling hash form —
+    map-only), collapsed to DISTINCT (doc, shingle): the cross-doc
+    frequency table (whose ≥3 slice broadcasts — at 100 TB swap a Bloom
+    filter per the decontaminate note) and the per-doc rollup.
+
+    r11 optimization round: the shared frame was persisted for the two
+    consumers; a same-session A/B under the bench's cache-cold regime
+    measured the persist form 3.55 s vs 2.94 s recomputed — caching a
+    corpus-sized (doc, shingle) frame costs more than re-running the
+    codegen'd shingle+distinct pipeline, and at 100 TB an O(corpus) cache
+    is the worse shape anyway (two streaming passes beat materializing
+    the explode). Hash-vs-string equivalence is the decontaminate
     argument: counts agree modulo 2^-64 collisions. The ratio divides two
     exact int64 counts — one IEEE divide, identical across engines."""
     from omnidata_etl_spark.queries.dedup import rolling_shingle_hashes
@@ -984,7 +991,6 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_shingle_hashes(docs, FINGERPRINT_SHINGLE)
         .select("doc_id", "sh")
         .distinct()
-        .persist()
     )
     boiler = (
         sh.groupBy("sh")
