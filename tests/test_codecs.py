@@ -604,3 +604,67 @@ def test_gif_interlace_actually_reorders_rows():
     assert (decode_image(a) == decode_image(b)).all()
     # spec appendix E order for 9 rows
     assert _gif_interlace_rows(9).tolist() == [0, 8, 4, 2, 6, 1, 3, 5, 7]
+
+
+def test_gif_lzw_encoder_matches_reference_form():
+    """r11 optimization pin: the int-keyed, bulk-packing `_gif_lzw_encode`
+    must emit BYTE-IDENTICAL streams to the straightforward reference
+    encoder it replaced (bytes-string dictionary + per-byte packing, the
+    pre-r11 form reproduced here verbatim), across every min-code-size,
+    width growth, the 4096-entry deferred clear, and degenerate inputs."""
+    import numpy as np
+
+    from omnidata_etl_spark.codecs import _gif_lzw_decode, _gif_lzw_encode
+
+    def reference_encode(seq: bytes, mcs: int) -> bytes:
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        codes = []
+        table = {bytes([i]): i for i in range(1 << mcs)}
+        next_code, cs = eoi + 1, mcs + 1
+        codes.append((clear, cs))
+        wbuf = seq[:1]
+        for i in range(1, len(seq)):
+            k = seq[i : i + 1]
+            if table.get(wbuf + k) is not None:
+                wbuf += k
+                continue
+            codes.append((table[wbuf], cs))
+            table[wbuf + k] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << cs) and cs < 12:
+                cs += 1
+            elif next_code == 4096:
+                codes.append((clear, cs))
+                table = {bytes([i]): i for i in range(1 << mcs)}
+                next_code, cs = eoi + 1, mcs + 1
+            wbuf = k
+        if seq:
+            codes.append((table[wbuf], cs))
+        codes.append((eoi, cs))
+        acc = bits = 0
+        stream = bytearray()
+        for code, width in codes:
+            acc |= code << bits
+            bits += width
+            while bits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            stream.append(acc & 0xFF)
+        return bytes(stream)
+
+    rng = np.random.RandomState(7)
+    cases = [(b"", 2), (b"\x00", 2), (b"\x00" * 50000, 2)]
+    for mcs in (2, 3, 4, 6, 8):
+        for n in (1, 5, 192, 5000, 20000):
+            cases.append(
+                (bytes(rng.randint(0, 1 << mcs, size=n, dtype=np.uint8)), mcs)
+            )
+    cases.append((bytes((np.arange(30000) % 7).astype(np.uint8)), 3))
+    cases.append((bytes(rng.randint(0, 256, size=60000, dtype=np.uint8)), 8))
+    for seq, mcs in cases:
+        enc = _gif_lzw_encode(seq, mcs)
+        assert enc == reference_encode(seq, mcs), (mcs, len(seq))
+        if seq:
+            assert bytes(_gif_lzw_decode(enc, mcs, len(seq))) == seq

@@ -464,3 +464,93 @@ def test_join_skew_report_consistent(spark, sf_dir):
     assert rows[0]["n_rows"] == heaviest["count"]
     assert abs(rows[0]["share_of_total"] - heaviest["count"] / total) < 1e-12
     assert rows[0]["ratio_to_mean"] >= 1.0
+
+
+def test_r11_single_pass_rank_rewrites_match_naive_window_forms(spark, sf_dir):
+    """r11 optimization pins: agg_weighted_median (two-phase bucket
+    refinement), agg_gini_concentration (per-partition rank folding), and
+    etl_curriculum_stages (counts-frame offsets) were restructured for
+    single-pass/bounded-window execution — each must still equal the
+    naive global-window formulation it replaced, computed here directly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from omnidata_etl_spark.catalog import table
+    from omnidata_etl_spark.queries._util import dec2
+    from omnidata_etl_spark.registry import all_specs
+
+    specs = all_specs()
+
+    # --- weighted median: naive cumulative window over (group, price)
+    grp = ["l_returnflag", "l_linestatus"]
+    li = table(spark, sf_dir, "lineitem").select(
+        *grp, dec2("l_extendedprice").alias("price"), dec2("l_quantity").alias("q")
+    )
+    pre = li.groupBy(*grp, "price").agg(F.sum("q").alias("w"))
+    cum = F.sum("w").over(
+        Window.partitionBy(*grp).orderBy("price").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    tot = F.sum("w").over(Window.partitionBy(*grp))
+    naive_wm = (
+        pre.select(*grp, "price", cum.alias("cw"), tot.alias("tw"))
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy(*grp)
+        .agg(F.min("price").cast("double").alias("weighted_median_price"))
+    ).toPandas().sort_values(grp).reset_index(drop=True)
+    got_wm = (
+        specs["agg_weighted_median"].fn(spark, sf_dir).toPandas()
+        .sort_values(grp).reset_index(drop=True)
+    )
+    assert naive_wm.equals(got_wm)
+
+    # --- gini: naive single-partition row_number rank
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("xc")
+    )
+    rn = F.row_number().over(Window.orderBy("xc", "o_custkey"))
+    ranked = rev.select("xc", rn.cast("long").alias("id"))
+    a = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("id") * F.col("xc")).cast("decimal(38,0)")).alias("s1"),
+    )
+    n, s, s1 = F.col("n"), F.col("s"), F.col("s1")
+    naive_gini = a.select(
+        n.alias("n_customers"),
+        (s.cast("double") / 100).cast("double").alias("total_revenue"),
+        ((2 * s1 - (n + 1) * s).cast("double") / (n * s).cast("double")).alias(
+            "gini"
+        ),
+    ).toPandas()
+    got_gini = specs["agg_gini_concentration"].fn(spark, sf_dir).toPandas()
+    assert naive_gini.equals(got_gini)
+
+    # --- curriculum: naive single-partition rank + stage split
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    rid = F.row_number().over(Window.orderBy("n_tokens", "doc_id"))
+    ranked_docs = docs.select("n_tokens", rid.cast("long").alias("id"))
+    n_total = ranked_docs.agg(F.count(F.lit(1)).alias("n"))
+    naive_cs = (
+        ranked_docs.crossJoin(F.broadcast(n_total))
+        .select(
+            F.expr("CAST((id - 1) * 4 DIV n AS INT)").alias("stage"),
+            "n_tokens",
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    ).toPandas().sort_values("stage").reset_index(drop=True)
+    got_cs = (
+        specs["etl_curriculum_stages"].fn(spark, sf_dir).toPandas()
+        .sort_values("stage").reset_index(drop=True)
+    )
+    assert naive_cs.equals(got_cs)
