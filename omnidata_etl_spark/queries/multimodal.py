@@ -2,9 +2,10 @@
 
 The engine's multimodal model (north-star): an asset is a row with a
 ``binary`` payload column plus typed metadata columns; decode / feature
-extraction / resize / frame-sampling run as Arrow-batched Pandas functions
-over ``mapInPandas`` so the payload bytes never round-trip through Python
-row-at-a-time serde. Decode is REAL for the formats a bare container can
+extraction / resize / frame-sampling run as Arrow-batched functions over
+``mapInArrow`` (r12 — formerly mapInPandas; the per-batch pandas
+conversion was pure overhead for these per-row codec loops) so the
+payload bytes never round-trip through Python row-at-a-time serde. Decode is REAL for the formats a bare container can
 express — PPM/BMP images (numpy), PNG (stdlib zlib + numpy unfilter),
 GIF incl. multi-frame animations (pure-Python LZW, r7/r8), JPEG both
 baseline and progressive (clean-room ITU-T T.81 Huffman+IDCT, r10 — see
@@ -21,7 +22,6 @@ from __future__ import annotations
 import functools
 from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -161,23 +161,36 @@ def fake_features(payload: bytes, dim: int = 4) -> list[float]:
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: Arrow-batched, per-partition, no
-    driver involvement — the hot-path shape for real decoders."""
+    """mapInArrow feature extraction: Arrow-batched, per-partition, no
+    driver involvement — the hot-path shape for real decoders. r12: the
+    ops in this module take/emit pyarrow RecordBatches directly instead
+    of mapInPandas frames — the per-batch Arrow→pandas→Arrow conversion
+    (Series construction, object boxing of every binary cell) was pure
+    overhead for these per-row codec loops, ~0.1-0.3 s per query at
+    sf0.1 (guide §4.1: control how efficiently columns cross; the
+    values crossing are identical, only the container changes)."""
+    import pyarrow as pa
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(
-                        lambda b: len(b) if b is not None else 0
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payloads = b.column("payload").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("asset_id"),
+                    b.column("media_type"),
+                    pa.array(
+                        [len(p) if p is not None else 0 for p in payloads],
+                        type=pa.int64(),
                     ),
-                    "feature": pdf["payload"].map(fake_features),
-                }
+                    pa.array(
+                        [fake_features(p) for p in payloads],
+                        type=pa.list_(pa.float64()),
+                    ),
+                ],
+                names=["asset_id", "media_type", "n_bytes", "feature"],
             )
 
-    return assets.mapInPandas(op, schema=FEATURE_SCHEMA)
+    return assets.mapInArrow(op, schema=FEATURE_SCHEMA)
 
 
 @query(
@@ -232,7 +245,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling (r8 — upgraded from the byte-slice stub):
     each video-typed document gets a synthesized multi-frame animated GIF
     (3-6 frames at 100 ms GCE delay, every frame distinct), and the
-    mapInPandas op explodes it into per-frame rows (asset_id, frame_idx,
+    mapInArrow op explodes it into per-frame rows (asset_id, frame_idx,
     frame binary) through the delay-aware decoder → TIME-BASED sampling at
     every_ms=100 (one frame per 100 ms of animation time, ≤4 — r9: the
     sampler honors the GIF's own graphic-control delays, see
@@ -245,10 +258,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic stub for those media types."""
     import numpy as np
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from omnidata_etl_spark.codecs import decode_image
 
-        for pdf in batches:
+        for b in batches:
             out = {
                 "asset_id": [],
                 "frame_idx": [],
@@ -257,7 +272,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "src_frames": [],
             }
             for aid, did, text in zip(
-                pdf["asset_id"], pdf["doc_id"], pdf["text"]
+                b.column("asset_id").to_pylist(),
+                b.column("doc_id").to_pylist(),
+                b.column("text").to_pylist(),
             ):
                 payload = _synth_animation_payload(int(did), text)
                 n_src = 3 + int(did) % 4
@@ -270,7 +287,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["frame"].append(frame)
                     out["frame_ok"].append(img.shape[:2] == (9, 12))
                     out["src_frames"].append(n_src)
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["asset_id"], type=pa.int64()),
+                    pa.array(out["frame_idx"], type=pa.int32()),
+                    pa.array(out["frame"], type=pa.binary()),
+                    pa.array(out["frame_ok"], type=pa.bool_()),
+                    pa.array(out["src_frames"], type=pa.int32()),
+                ],
+                names=list(out),
+            )
 
     frame_schema = T.StructType(
         [
@@ -292,7 +318,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread(): per-asset LZW decode/encode CPU must use all cores (the
     # decode_stats single-partition lesson, commit de9d858)
-    frames = spread(videos).mapInPandas(op, schema=frame_schema)
+    frames = spread(videos).mapInArrow(op, schema=frame_schema)
     return frames.groupBy("asset_id").agg(
         F.count("*").alias("n_frames"),
         F.sum(F.octet_length("frame")).alias("frame_bytes"),
@@ -312,7 +338,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     values travel different paths (n_bytes is computed Spark-side from the
     payload column, feature[0] inside the Arrow batch by fake_features),
     so the flag recomputes the row↔feature ALIGNMENT invariant in-output
-    and a batch-misalignment bug in the mapInPandas plumbing (the failure
+    and a batch-misalignment bug in the mapInArrow plumbing (the failure
     mode that silently shuffles features across rows) flips it false."""
     docs = table(spark, sf_dir, "documents")
     feats = extract_features(assets_from_documents(docs))
@@ -423,16 +449,19 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         None,  # progressive JPEG: same lossy bound
     )
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
             out = {
-                "source": pdf["source"],
                 "brightness": [],
                 "width": [],
                 "height": [],
                 "roundtrip_ok": [],
             }
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for did, text in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
                 payload = _synth_image_payload(int(did), text)
                 img = decode_image(payload)
                 out["brightness"].append(float(np.mean(img)))
@@ -450,7 +479,18 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 else:
                     ok = enc(img) == payload
                 out["roundtrip_ok"].append(ok)
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("source"),
+                    pa.array(out["brightness"], type=pa.float64()),
+                    pa.array(out["width"], type=pa.int32()),
+                    pa.array(out["height"], type=pa.int32()),
+                    pa.array(out["roundtrip_ok"], type=pa.bool_()),
+                ],
+                names=[
+                    "source", "brightness", "width", "height", "roundtrip_ok"
+                ],
+            )
 
     schema = (
         "source string, brightness double, width int, height int, "
@@ -464,7 +504,7 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = spread(
         table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     )
-    decoded = docs.mapInPandas(op, schema=schema)
+    decoded = docs.mapInArrow(op, schema=schema)
     return (
         decoded.groupBy("source")
         .agg(
@@ -487,15 +527,18 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reported as ``avg_abs_brightness_shift``, bounded ~0.5/255)."""
     import numpy as np
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
             out = {
-                "source": pdf["source"],
                 "out_bytes": [],
                 "dims_ok": [],
                 "brightness_shift": [],
             }
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for did, text in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
                 payload = _synth_image_payload(int(did), text)
                 before = decode_image(payload)
                 # resample from the already-decoded pixels (r11: the fused
@@ -508,7 +551,15 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["brightness_shift"].append(
                     abs(float(np.mean(after)) - float(np.mean(before)))
                 )
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("source"),
+                    pa.array(out["out_bytes"], type=pa.int64()),
+                    pa.array(out["dims_ok"], type=pa.bool_()),
+                    pa.array(out["brightness_shift"], type=pa.float64()),
+                ],
+                names=["source", "out_bytes", "dims_ok", "brightness_shift"],
+            )
 
     schema = (
         "source string, out_bytes long, dims_ok boolean, "
@@ -519,7 +570,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
         table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     )
-    resized = docs.mapInPandas(op, schema=schema)
+    resized = docs.mapInArrow(op, schema=schema)
     return (
         resized.groupBy("source")
         .agg(
@@ -545,16 +596,19 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     RATE = 8000
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
             out = {
-                "source": pdf["source"],
                 "duration_ms": [],
                 "rms": [],
                 "zcr": [],
                 "decode_ok": [],
             }
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for did, text in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
                 raw = (text or "").encode("utf-8") or bytes([int(did) % 256])
                 wavef = (
                     np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
@@ -569,7 +623,16 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else 0.0
                 )
                 out["decode_ok"].append(st["n_samples"] == len(wavef))
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("source"),
+                    pa.array(out["duration_ms"], type=pa.int64()),
+                    pa.array(out["rms"], type=pa.float64()),
+                    pa.array(out["zcr"], type=pa.float64()),
+                    pa.array(out["decode_ok"], type=pa.bool_()),
+                ],
+                names=["source", "duration_ms", "rms", "zcr", "decode_ok"],
+            )
 
     schema = (
         "source string, duration_ms long, rms double, zcr double, "
@@ -580,7 +643,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
         table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     )
-    stats = docs.mapInPandas(op, schema=schema)
+    stats = docs.mapInArrow(op, schema=schema)
     return (
         stats.groupBy("source")
         .agg(
@@ -757,12 +820,16 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(enc(img))
         open(done, "w").close()
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
             rows = {"path": [], "n_bytes": [], "width": [], "height": [],
                     "decode_ok": []}
             enc_by_ext = dict(encoders)
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path, content in zip(
+                b.column("path").to_pylist(), b.column("content").to_pylist()
+            ):
                 name = os.path.basename(path)
                 asset_i = int(name.split("_")[1])
                 dims, ext = name.rsplit("_", 1)[1].split(".")
@@ -791,7 +858,16 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     and img.shape[0] == want_h
                     and ok
                 )
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["path"], type=pa.string()),
+                    pa.array(rows["n_bytes"], type=pa.int64()),
+                    pa.array(rows["width"], type=pa.int32()),
+                    pa.array(rows["height"], type=pa.int32()),
+                    pa.array(rows["decode_ok"], type=pa.bool_()),
+                ],
+                names=list(rows),
+            )
 
     ensure_tuned(spark)
     files = (
@@ -800,7 +876,7 @@ def ingest_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(root)
         .select("path", "content")
     )
-    decoded = files.mapInPandas(
+    decoded = files.mapInArrow(
         op, schema="path string, n_bytes long, width int, height int, decode_ok boolean"
     )
     return decoded.agg(
@@ -841,7 +917,7 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id < 20 a cross-format twin is planted (same source pixels,
     re-encoded PPM vs BMP — both lossless, so the decoded pixels and
     hence the 64-bit dHash are bit-identical). Hashing runs in one
-    mapInPandas pass (decode + dHash per asset, spread() for core
+    mapInArrow pass (decode + dHash per asset, spread() for core
     parallelism); dedup is then a plain groupBy on the 64-bit hash —
     the 100 TB shape: 8 bytes shuffle per asset, never pixels, exactly
     like dedup_hash shuffles digests instead of documents.
@@ -855,10 +931,14 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from omnidata_etl_spark.codecs import encode_bmp
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
             doc_ids, variants, hashes = [], [], []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for did, text in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
                 did = int(did)
                 img = decode_image(_synth_image_payload(did, text))
                 doc_ids.append(did)
@@ -877,12 +957,17 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     doc_ids.append(did)
                     variants.append("twin")
                     hashes.append(dhash64(decode_image(payload)))
-            yield pd.DataFrame(
-                {"doc_id": doc_ids, "variant": variants, "phash": hashes}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(variants, type=pa.string()),
+                    pa.array(hashes, type=pa.int64()),
+                ],
+                names=["doc_id", "variant", "phash"],
             )
 
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    hashed = docs.mapInPandas(
+    hashed = docs.mapInArrow(
         op, schema="doc_id long, variant string, phash long"
     )
     # two independent consumers below (hash-bucket stats + per-doc twin
@@ -955,7 +1040,7 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples are fingerprinted (real codec in the loop). For doc_id < 20
     a half-volume twin is planted: decoded samples × 0.5, re-quantized,
     re-encoded, re-decoded — different payload bytes, same landmarks.
-    One mapInPandas pass emits (doc_id, variant, landmark) rows;
+    One mapInArrow pass emits (doc_id, variant, landmark) rows;
     matching is relational from there — the scale shape shuffles
     4-byte landmark hashes, never waveforms (same argument as
     dedup_hash/image_phash).
@@ -971,8 +1056,10 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from omnidata_etl_spark.codecs import decode_audio
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
             doc_ids, variants, lms = [], [], []
 
             def emit(did: int, variant: str, samples) -> None:
@@ -981,7 +1068,9 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     variants.append(variant)
                     lms.append(lm)
 
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for did, text in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
                 did = int(did)
                 raw = (text or "").encode("utf-8") or bytes([did % 256])
                 t = np.arange(256)
@@ -998,8 +1087,13 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     half = (dec.astype(np.float64) * 0.5).astype(np.int16)
                     dec2_, _ = decode_audio(encode_wav(half, rate=8000))
                     emit(did, "twin", dec2_)
-            yield pd.DataFrame(
-                {"doc_id": doc_ids, "variant": variants, "landmark": lms}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(variants, type=pa.string()),
+                    pa.array(lms, type=pa.int64()),
+                ],
+                names=["doc_id", "variant", "landmark"],
             )
 
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -1013,7 +1107,7 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # housekeeping (bench passes) cannot evict them — persist-backed
         # memos re-ran the whole FFT pass per bench pass (2.06 s benched
         # vs 1.10 s measured, r10)
-        df = docs.mapInPandas(
+        df = docs.mapInArrow(
             op, schema="doc_id long, variant string, landmark long"
         ).localCheckpoint(eager=True)
         df._omnidata_checkpointed = True
@@ -1111,7 +1205,7 @@ def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     so 1.5× splits with margin; an all-uniform grid degenerates to
     median 0 and still flags only the true cut).
 
-    mapInPandas decodes and scores per asset (Arrow batches, spread()
+    mapInArrow decodes and scores per asset (Arrow batches, spread()
     for core parallelism — decode CPU is the real work); the summary is
     one groupBy. Self-evidence: ``cut_detect_rate`` must be 1.0 —
     exactly ONE cut per asset and exactly at transition 3; a wrong
@@ -1127,10 +1221,14 @@ def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     CUT_AT = 3
     payload = _synth_scenecut_payload
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    import pyarrow as pa
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
             ok, n_cuts = [], []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            for did, text in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
                 did = int(did)
                 dec, _ = decode_gif_frames_with_delays(payload(did, text))
                 diffs = np.array(
@@ -1144,10 +1242,16 @@ def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cuts = np.nonzero(diffs > 1.5 * np.median(diffs))[0] + 1
                 n_cuts.append(len(cuts))
                 ok.append(len(cuts) == 1 and int(cuts[0]) == CUT_AT)
-            yield pd.DataFrame({"ok": ok, "n_cuts": n_cuts})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ok, type=pa.bool_()),
+                    pa.array(n_cuts, type=pa.int32()),
+                ],
+                names=["ok", "n_cuts"],
+            )
 
     docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
-    scored = docs.mapInPandas(op, schema="ok boolean, n_cuts int")
+    scored = docs.mapInArrow(op, schema="ok boolean, n_cuts int")
     return scored.agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.col("ok").cast("int")).alias("n_detected"),
