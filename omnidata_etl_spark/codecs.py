@@ -264,6 +264,26 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     minutes of executor CPU on a megapixel Paeth asset."""
     rows = raw.reshape(h, 1 + stride)
     ftypes, data = rows[:, 0], rows[:, 1:]
+    # Fast paths (r12): whole-image reconstruction in one numpy op when no
+    # row needs the sequential left-scan. Filter-0-only streams (what
+    # encode_png emits, so every fixture PNG and each Adam7 pass of one)
+    # ARE their raw bytes; an Up-only tail after a type-0 first row is a
+    # column cumsum mod 256 (rec[y] = rec[y-1] + cur[y] unrolls down each
+    # byte column). Byte-identical to the per-row loop below by the same
+    # exactness argument as the Sub lane cumsum (int64 sums, & 0xFF).
+    if not ftypes.any():
+        return np.ascontiguousarray(data)
+    if ftypes[0] == 0 and np.all((ftypes == 0) | (ftypes == 2)):
+        acc = np.cumsum(data.astype(np.int64), axis=0)
+        # each row's reconstruction is the column cumsum since its
+        # segment's type-0 start: subtract the RAW prefix just before it
+        seg = np.maximum.accumulate(
+            np.where(ftypes == 0, np.arange(h), -1)
+        )
+        off = np.where(
+            (seg > 0)[:, None], acc[np.maximum(seg - 1, 0)], 0
+        )
+        return ((acc - off) & 0xFF).astype(np.uint8)
     # Ceiling keys on the bytes the Python left-scan actually touches —
     # rows filtered Average/Paeth — so a mostly None/Up/Sub image with a
     # stray Paeth row still decodes (r7 ADVICE; previously keyed on total
