@@ -247,17 +247,33 @@ def main() -> None:
         rebuild = time_suite(names, spark, "rebuild", rebuild_errors)
 
     total = round(sum(per_query.values()), 4)
-    slowest = dict(
-        sorted(per_query.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    )
-    result = {
+    # r12 (VERDICT r11 #3): the driver's round-over-round comparison reads
+    # the one-line JSON's "queries" map, and top-5 gave it only 4 common
+    # queries. The full 235-entry map cannot go here — the driver captures
+    # the LAST 2000 characters of stdout (every BENCH_r*.json tail is
+    # exactly 2000 chars; r1's full map came back parsed:null) — so emit
+    # the largest slowest-first prefix that keeps the whole line safely
+    # under that capture window (~60 queries, every one above the ~0.25 s
+    # floor class). Additions-only: metric/value/unit/sf/n_queries keep
+    # their meaning, and the former top-5 are always a subset of the
+    # slowest-first prefix. BENCH_DETAIL.json still carries all queries.
+    base = {
         "metric": "sum_query_wall_sec",
         "value": total,
         "unit": "sec",
         "sf": _sf_label(SF_DIR),
         "n_queries": len(per_query),
-        "queries": slowest,
     }
+    line_budget = int(os.environ.get("BENCH_LINE_BUDGET", "1800"))
+    queries: dict[str, float] = {}
+    for name, sec in sorted(
+        per_query.items(), key=lambda kv: kv[1], reverse=True
+    ):
+        queries[name] = sec
+        if len(json.dumps({**base, "queries": queries})) > line_budget:
+            del queries[name]
+            break
+    result = {**base, "queries": queries}
 
     detail = {name: {"spark_sec": sec} for name, sec in per_query.items()}
     for name, sec in rebuild.items():

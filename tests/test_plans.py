@@ -663,3 +663,43 @@ def test_range_bucketed_join_never_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_range_bucketed")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_pass_ranks_reuse_or_single_range_exchange(spark, sf_dir):
+    """The two-pass distributed ranks must not depend on RangePartitioner
+    sampling determinism (Spark seeds range-bound sampling with the RDD
+    id — VERDICT r11 #4): their safety argument is structural. For
+    agg_gini_concentration the restructure left exactly ONE consumer of
+    the range exchange, so the plan must hold exactly one
+    `Exchange rangepartitioning`. For etl_curriculum_stages the offsets
+    branch and the stage projection both read the SAME range exchange —
+    the executed plan must materialize it once and serve the second
+    consumer a ReusedExchange/reused stage, never two independently
+    sampled range exchanges (which could silently skew ranks if a future
+    edit makes the subtrees non-identical)."""
+    def final_plan(name):
+        df = _SPECS[name].fn(spark, sf_dir)
+        df.collect()  # materialize so AQE settles the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # toString() prints "== Final Plan ==" then "== Initial Plan =="
+        return plan.split("== Initial Plan ==")[0].splitlines()
+
+    def count_range(lines):
+        mat = [
+            l for l in lines
+            if "Exchange rangepartitioning" in l and "ReusedExchange" not in l
+        ]
+        reused = [
+            l for l in lines
+            if "ReusedExchange" in l and "rangepartitioning" in l
+        ]
+        return len(mat), len(reused)
+
+    mat, _ = count_range(final_plan("agg_gini_concentration"))
+    assert mat == 1, f"gini: expected 1 materialized range exchange, got {mat}"
+
+    mat, reused = count_range(final_plan("etl_curriculum_stages"))
+    assert mat == 1 and reused >= 1, (
+        f"curriculum: expected one materialized range exchange plus a "
+        f"ReusedExchange, got {mat} materialized / {reused} reused"
+    )
