@@ -47,33 +47,31 @@ TABLES = (
 # (mtime, size) so a regenerated table invalidates its mirror. The oracle
 # (DuckDB) keeps reading the original file. Opt out: OMNIDATA_NO_MIRROR=1.
 _MIRROR_ROOT = os.environ.get("OMNIDATA_MIRROR_DIR", "/tmp/omnidata_mirror")
-_MIN_MIRROR_ROWS = 50_000  # below this a 1-task scan is already ~free...
-# ...unless the rows are WIDE (documents: 5k rows ≈ 1.6 MB of text). r11
-# added a byte-based eligibility axis for that case, but gated it on
-# COMPRESSED on-disk size (4 MB) that documents (594 KB) never crossed —
-# and more fundamentally, a multi-row-group SINGLE FILE below
-# `spark.sql.files.openCostInBytes` can never scan as more than one task:
-# maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))
-# is floored at openCost (1 MB here), so a 594 KB file is always ONE byte
-# range / ONE task no matter how many row groups it holds. r12: wide-row
-# tables whose file is too small to byte-range-split mirror into a
-# DIRECTORY of single-group files — K files is K scan tasks at any split
-# sizing — so every codec/text query's per-row Python-boundary CPU fans
-# out with no spread() exchange of the payload bytes.
-_MIN_MIRROR_BYTES = 4 << 20  # on-disk bytes that justify a single-file mirror
+_MIN_MIRROR_ROWS = 50_000  # below this a 1-task scan is already ~free
 _MIN_GROUP_ROWS = 8_192  # don't shred into groups too small to scan well
-_MIN_GROUP_BYTES = 256 << 10  # ...unless rows are wide: ≥256 KB per group
-# Directory-mirror eligibility (wide-row payload tables: documents,
-# embeddings): the scan must carry enough UNCOMPRESSED payload to be worth
-# fanning out (the downstream per-row codec/text CPU scales with payload
-# bytes, not disk bytes), rows must be wide enough that the table is a
-# payload table rather than a narrow dim (customer at 44 B/row stays on a
-# 1-task scan — 32 micro-files would tax every TPC-H join for nothing),
-# and each mirror file must hold enough rows to amortize its task.
-_MIN_MIRROR_UNC_BYTES = 512 << 10  # uncompressed bytes that justify fan-out
-_MIN_ROW_WIDTH = 128  # avg uncompressed bytes/row of a payload-class table
-_MIN_FILE_ROWS = 48  # rows per mirror file (≥ ~25 ms of codec work each)
-_OPEN_COST = 1 << 20  # keep in sync with spark.sql.files.openCostInBytes
+# Wide-row SMALL tables (documents: 5k rows / 594 KB disk / 1.6 MB unc,
+# embeddings: 2k rows / 798 KB) deliberately do NOT mirror — settled by
+# r12 measurement, closing the r11 byte-threshold question (VERDICT r11
+# #1). Two facts:
+#   1. A single file below `spark.sql.files.openCostInBytes` can never
+#      scan as more than one task whatever its row-group count
+#      (maxSplitBytes = min(maxPartitionBytes, max(openCost, bytesPerCore))
+#      is floored at openCost = 1 MB here), so the r11 plan — fix the 4 MB
+#      byte threshold so documents mirrors into 32 row groups — could not
+#      have removed the spread() exchange even once the threshold fired.
+#      The only mechanism that fans such a table out at the scan is a
+#      DIRECTORY of single-group part files.
+#   2. The directory mirror was implemented (commit a1d5948) and A/B'd
+#      same-session, mirror vs OMNIDATA_NO_MIRROR, noop sink, min of 4
+#      (scripts/ab_mirror_r12.py): it LOSES on most consumers —
+#      binary_stats −63 ms, curriculum −62, similarity_cosine −34,
+#      ann_pq −34, udtf_chunk −20, decontaminate −15, decode_stats −14,
+#      vs wins of +38 (audio_stats) and +20 (scene_cut) only. 32 micro-file
+#      scan tasks cost more than the 1-task scan plus the ~1.6 MB
+#      round-robin exchange they replace (trivial-op decomposition:
+#      1-task scan 0.31 s, +spread 0.57 s, 32-file mirror 0.50 s).
+# At the 100 TB design point both shapes vanish: a real corpus arrives as
+# thousands of files, the scan is already wide, and spread() no-ops.
 
 
 def _splittable_path(sf_dir: str, name: str) -> tuple[str, int]:
@@ -96,41 +94,17 @@ def _splittable_path(sf_dir: str, name: str) -> tuple[str, int]:
 
         meta = pq.ParquetFile(src).metadata
         rows, groups = meta.num_rows, meta.num_row_groups
-        unc = sum(
-            meta.row_group(i).total_byte_size for i in range(groups)
-        )
     except Exception:
         return src, 1
     cores = default_parallelism()
-    size = os.path.getsize(src)
-    # Wide-row payload table too small to byte-range-split (see the header
-    # note: a file under openCostInBytes is always ONE scan task): mirror
-    # into a directory of single-group files — one file per task.
-    dir_mirror = (
-        size <= _OPEN_COST
-        and unc >= _MIN_MIRROR_UNC_BYTES
-        and rows >= 2 * _MIN_FILE_ROWS
-        and unc // max(rows, 1) >= _MIN_ROW_WIDTH
-    )
-    if dir_mirror:
-        target = min(cores, rows // _MIN_FILE_ROWS)
-    else:
-        # group count: enough row-level parallelism for narrow tables AND
-        # enough byte-level parallelism for wide-row tables, with floors
-        # so groups never get too small on either axis
-        target = min(
-            cores,
-            max(1, rows // _MIN_GROUP_ROWS, size // _MIN_GROUP_BYTES),
-        )
-        worth = rows >= _MIN_MIRROR_ROWS or size >= _MIN_MIRROR_BYTES
-        if not worth or groups >= max(2, target // 2):
-            return src, groups
+    target = min(cores, max(1, rows // _MIN_GROUP_ROWS))
+    if rows < _MIN_MIRROR_ROWS or groups >= max(2, target // 2):
+        return src, groups
     st = os.stat(src)
     key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
     mdir = os.path.join(_MIRROR_ROOT, key)
-    shape = f"d{target}" if dir_mirror else str(target)
     dst = os.path.join(
-        mdir, f"{name}-{st.st_mtime_ns}-{st.st_size}-{shape}.parquet"
+        mdir, f"{name}-{st.st_mtime_ns}-{st.st_size}-{target}.parquet"
     )
     if not os.path.exists(dst):
         try:
@@ -139,35 +113,20 @@ def _splittable_path(sf_dir: str, name: str) -> tuple[str, int]:
             os.makedirs(mdir, exist_ok=True)
             tbl = pq.read_table(src)
             tmp = f"{dst}.tmp{os.getpid()}"
-            per = math.ceil(rows / target)
-            if dir_mirror:
-                # K single-group part files: K scan tasks at any
-                # maxSplitBytes, the layout the engine's own sinks write
-                os.makedirs(tmp, exist_ok=True)
-                for i in range(target):
-                    if i * per >= rows:
-                        break  # never write an empty part file
-                    pq.write_table(
-                        tbl.slice(i * per, per),
-                        os.path.join(tmp, f"part-{i:05d}.parquet"),
-                        row_group_size=per,
-                        compression="snappy",
-                        version="2.6",
-                    )
-            else:
-                # version 2.6 preserves ns timestamps (events.ts) losslessly
-                pq.write_table(
-                    tbl,
-                    tmp,
-                    row_group_size=per,
-                    compression="snappy",
-                    version="2.6",
-                )
+            # version 2.6 preserves ns timestamps (events.ts) losslessly
+            pq.write_table(
+                tbl,
+                tmp,
+                row_group_size=math.ceil(rows / target),
+                compression="snappy",
+                version="2.6",
+            )
             os.replace(tmp, dst)  # atomic vs a concurrent test session
             for stale in glob.glob(os.path.join(mdir, f"{name}-*.parquet")):
                 if stale != dst:
                     try:
                         if os.path.isdir(stale):
+                            # a directory mirror left by commit a1d5948
                             shutil.rmtree(stale, ignore_errors=True)
                         else:
                             os.remove(stale)

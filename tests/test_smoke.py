@@ -99,34 +99,3 @@ def test_catalog_sizes_advisory_from_input(spark, sf_dir):
         default_parallelism()
     )
 
-
-def test_dir_mirror_parity_wide_rows(spark):
-    """The r12 DIRECTORY mirror (wide-row payload tables whose file is
-    too small to byte-range-split: documents/embeddings at sf0.1) must be
-    value-invisible and actually multi-file — K part files is K scan
-    tasks at any maxSplitBytes, which is the whole point (a single file
-    under openCostInBytes can never scan as more than one task)."""
-    import os
-
-    from pyspark.sql import functions as F
-
-    from omnidata_etl_spark import catalog
-
-    sf = "/root/testdata/sf0.1"
-    path, n_splits = catalog._splittable_path(sf, "documents")
-    assert path != f"{sf}/documents.parquet", "documents should dir-mirror"
-    assert os.path.isdir(path)
-    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
-    assert len(parts) == n_splits and n_splits > 1
-    mirrored = spark.read.parquet(path)
-    direct = spark.read.parquet(f"{sf}/documents.parquet")
-    assert mirrored.schema == direct.schema
-
-    def fp(df):
-        cols = [F.col(c).cast("string") for c in df.columns]
-        return df.select(
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-
-    assert fp(mirrored) == fp(direct)
