@@ -560,7 +560,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(PQ_SUBSPACES)
         )
     )
-    coded = spread(emb).select(
+    # No spread() before the encode UDF: at scale the corpus arrives
+    # pre-split (spread is a no-op by its own size guard) and locally the
+    # fan-out exchange costs more than the single-split numpy encode it
+    # parallelizes (r12 A/B: +0.21 s). The brute branch keeps spread — its
+    # interpreted zip_with fold is the part that pays for parallelism.
+    coded = emb.select(
         "vec_id", "embedding", pq_code(F.col("embedding")).alias("code")
     )
     # ADC distance: M 1-based lookups into the literal table, summed —
@@ -691,7 +696,12 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probe_sql = "array({})".format(", ".join(str(c) for c in probe))
-    coded = spread(emb).select(
+    # No spread() before the encode UDF (same reasoning as the served-index
+    # cell UDF and ann_pq_topk's encode): the scored frame repartitions
+    # right below, so the fan-out exchange was redundant — at scale spread
+    # is a no-op by its own size guard, and locally removing it is the
+    # r12 A/B's largest single win (+0.47 s).
+    coded = emb.select(
         "vec_id", "embedding", ivfpq_enc(F.col("embedding")).alias("cc")
     )
     qe_sql = "array({})".format(", ".join(repr(float(v)) for v in qv))
