@@ -680,7 +680,14 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(out))
 
     _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    ivfpq_enc = F.pandas_udf(_enc, "array<int>")
+    # asNondeterministic is an optimizer FENCE, not a semantics claim (the
+    # encode is deterministic): without it the pos>0 filter is pushed below
+    # the ADC projection and _enc evaluates TWICE in the approx branch —
+    # once under the filter over the full corpus, once above it for the
+    # projection (guide §4.4). One evaluation halves the encode map stage
+    # at scale; locally ±0.01 s (the corpus is small). The lost vec_id!=0
+    # scan pushdown is one row.
+    ivfpq_enc = F.pandas_udf(_enc, "array<int>").asNondeterministic()
 
     adt_sql = "array({})".format(
         ", ".join(

@@ -322,6 +322,33 @@ def _nospread(name, skip=None):
     return fn
 
 
+def _nondet_enc(name):
+    """Variant with every pandas_udf in the similarity module marked
+    non-deterministic (guide §4.4): the committed ivf_pq plan evaluates
+    _enc TWICE in the approx branch — once below the pushed-down pos>0
+    filter and once above it for the ADC projection. The optimizer fence
+    yields one evaluation; the UDF is deterministic, so values are
+    unchanged."""
+
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as RF
+
+        import omnidata_etl_spark.queries.similarity as sim
+
+        real = RF.pandas_udf
+
+        def nd(f, t):
+            return real(f, t).asNondeterministic()
+
+        sim.F.pandas_udf = nd
+        try:
+            return all_specs()[name].fn(spark, sf_dir)
+        finally:
+            sim.F.pandas_udf = real
+
+    return fn
+
+
 PAIRS = [
     ("ann_pq_topk", new_pq_topk),
     ("ann_ivf_topk", new_ivf_topk),
@@ -331,6 +358,7 @@ PAIRS = [
     ("ann_ivf_topk#nospread", _nospread("ann_ivf_topk")),
     ("ann_pq_topk#nospread-coded", _nospread("ann_pq_topk", skip={0})),
     ("ann_ivf_topk#nospread-udf", _nospread("ann_ivf_topk", skip={0})),
+    ("ann_ivf_pq_topk#nondet-enc", _nondet_enc("ann_ivf_pq_topk")),
 ]
 
 
