@@ -69,7 +69,10 @@ def _shingle_sets(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 
 def rolling_shingle_hashes(
-    docs: DataFrame, n: int, extra: tuple[str, ...] = ()
+    docs: DataFrame,
+    n: int,
+    extra: tuple[str, ...] = (),
+    fan_out: bool = True,
 ) -> DataFrame:
     """(doc_id, *extra, sh): one row per n-token shingle hash of ``text``.
 
@@ -94,12 +97,19 @@ def rolling_shingle_hashes(
 
     Docs shorter than n tokens contribute xxhash64 of their whole text as
     a single row (the corpus-dedup convention for degenerate docs).
+
+    ``fan_out=False`` skips the spread() fan-out: spread decides on SCAN
+    SPLITS (file metadata) and cannot see an upstream filter, so a caller
+    shingling a tiny filtered slice (text_decontaminate's ~5% bench side)
+    would pay a barrier + exchange to fan a few hundred rows across all
+    cores (r12 A/B: bench-side spread removal +0.09 s, train-side removal
+    -0.10 s — full-corpus callers keep the default).
     """
     from omnidata_etl_spark.queries._util import spread
 
     tokens = F.split("text", " ")
     ths = F.transform(tokens, lambda t: F.xxhash64(t))
-    base = spread(docs).select(
+    base = (spread(docs) if fan_out else docs).select(
         "doc_id", *extra, "text", ths.alias("ths"), F.size(tokens).alias("k")
     )
     short = base.filter(F.col("k") < n).select(

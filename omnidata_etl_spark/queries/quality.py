@@ -486,9 +486,13 @@ def etl_training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     report a pipeline run ends with. Rows-only (packing is not
     SQL-expressible); stage consistency is pinned in tests/test_quality.py.
     """
-    from omnidata_etl_spark.queries._util import spread
-
-    docs = spread(table(spark, sf_dir, "documents"))
+    # No spread() fan-out (r12 A/B: +0.10..0.13 s across three runs): the
+    # build's wall is its exchange/stage chain, not the map math — the
+    # mix/filter/digest pass over the local single-split scan is cheaper
+    # than the payload exchange that parallelized it, and the dedup
+    # groupBy fans the pipeline out anyway. At scale a multi-file corpus
+    # arrives pre-split, where spread() was a no-op by its size guard.
+    docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
     # token-hash array + shifted zip_with: one 2-long hash per bigram

@@ -459,9 +459,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingling each side's own slice pushes the source predicate into the
     # parquet scan and hashes every document exactly once across the two
     # subtrees — the bench side only ever shingles the tiny eval slice.
+    # fan_out=False: the bench slice is ~5% of documents after the source
+    # filter, but spread() keys on scan splits and would pay a fan-out
+    # exchange + stage barrier for a few hundred rows (r12 A/B: +0.09 s
+    # removed here, while the train side KEEPS its fan-out — removing
+    # that one measured -0.10 s).
     bench = (
         rolling_shingle_hashes(
-            docs.where(F.col("source") == "src0"), FINGERPRINT_SHINGLE
+            docs.where(F.col("source") == "src0"),
+            FINGERPRINT_SHINGLE,
+            fan_out=False,
         )
         .select("sh")
         .distinct()
