@@ -77,12 +77,18 @@ def main():
         qfn = specs[name].fn
         a = qfn(spark, SF).toPandas()
         b = nospread_call(qfn, spark, SF).toPandas()
-        cols = list(a.columns)
-        pdt.assert_frame_equal(
-            a.sort_values(cols).reset_index(drop=True),
-            b.sort_values(cols).reset_index(drop=True),
-            check_exact=True,
-        )
+
+        def canon(df):
+            # array cells (numpy arrays / lists) are unsortable; tuple-ize
+            for c in df.columns:
+                if df[c].dtype == object:
+                    df[c] = df[c].map(
+                        lambda v: tuple(v) if hasattr(v, "__len__")
+                        and not isinstance(v, (str, bytes)) else v
+                    )
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        pdt.assert_frame_equal(canon(a), canon(b), check_exact=True)
         res = {}
         for p in range(1 + RUNS):
             for tag in ("old", "new"):
