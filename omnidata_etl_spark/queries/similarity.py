@@ -640,14 +640,19 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     true cell on separable data) is pinned separately in tests
     (test_ivf_pq_residual_composition_on_clusters).
 
-    Single-encode form (r9): BOTH top-10s (approx ADC and exact) read
-    one repartition exchange of the probed rows' (vec_id, approx_d2,
-    exact_d2) triple — plain-exchange consumers get ReusedExchange (only
-    BROADCAST consumers don't, the r3 finding), so the Arrow encode UDF
-    and the per-row distance work run exactly once per execution and the
-    two TakeOrdereds read shuffled 3-column rows. The exchange moves only
-    the probed fraction at 20 bytes/row — at 100 TB that is the cheap
-    side of the trade against a second full-corpus Arrow pass."""
+    Execution shape (r12 correction of the r9 "single-encode" account):
+    the brute top-10 feeds the flag join as a BROADCAST consumer, and
+    broadcast consumers get no ReusedExchange (the r3 finding), so the
+    planner duplicates the scored subtree — the encode UDF runs once per
+    branch, column-pruned to each branch's columns (see
+    plans/r12/ann_ivf_pq_topk_after.txt). Forcing actual sharing was
+    A/B'd twice and REJECTED: a persist (r11) and a single-pass
+    mapInArrow emitting the triple once (r12, scripts/ab_ann_r12.py)
+    both lose — the shared exchange serializes two cheap parallel
+    subtrees. The probed-rows repartition is kept per branch: removing
+    it measured -0.10 s (it fans the post-UDF rows out for the distance
+    work and TakeOrdered). At 100 TB the same trade holds per branch:
+    the exchange moves only the probed fraction at ~20 bytes/row."""
     import numpy as np
     import pandas as pd
 
